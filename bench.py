@@ -1,0 +1,67 @@
+"""Headline benchmark: Cora GCN, 200-epoch full training wall-clock.
+
+Reference baseline: 0.25 s on a GTX 1080Ti (reference README.md:67-72;
+BASELINE.md).  The TPU run executes all 200 epochs as one lax.scan inside
+a single jit — compile once, zero host round-trips.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+(vs_baseline = baseline_seconds / our_seconds; > 1 means faster than the
+reference's GPU number.)
+"""
+
+import json
+import time
+
+import jax
+
+
+BASELINE_S = 0.25  # Cora GCN 200 epochs, GTX 1080Ti (reference README)
+
+
+def main():
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets.synthetic import (
+        synthetic_citation_graph,
+    )
+    from pytorch_geometric_tpu.models.citation import (
+        GCN,
+        create_gcn_train_step,
+    )
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+
+    data = NormalizeFeatures()(synthetic_citation_graph("cora", seed=0))
+    graph = from_data(data)
+
+    model = GCN(hidden_channels=16, num_classes=7)
+    init_fn, epoch_step, eval_fn = create_gcn_train_step(model, graph)
+    key = jax.random.PRNGKey(0)
+    params, opt_state = init_fn(key)
+
+    @jax.jit
+    def run(params, opt_state, key):
+        (params, opt_state, _), metrics = jax.lax.scan(
+            epoch_step, (params, opt_state, key), None, length=200)
+        return params, opt_state, metrics["loss"][-1]
+
+    # compile + warmup
+    p, o, l = run(params, opt_state, key)
+    jax.block_until_ready(l)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p, o, l = run(params, opt_state, key)
+        jax.block_until_ready(l)
+        best = min(best, time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "cora_gcn_200epoch_train_wallclock",
+        "value": round(best, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

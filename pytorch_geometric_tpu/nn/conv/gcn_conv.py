@@ -1,0 +1,76 @@
+"""GCN convolution (Kipf & Welling).
+
+Reference counterpart: ``torch_geometric.nn.GCNConv`` (reference usage:
+examples/gcn.py:7,18-19 with ``cached=True``; ConvexPruning.py:180-185).
+Semantics: x' = D^-1/2 (A + fI) D^-1/2 x W + b with f = 2 if improved
+else 1.
+
+TPU design notes:
+- the normalised adjacency depends only on the (static) graph, so it is
+  computed once per graph and reused — the analog of the reference's
+  ``cached=True`` memoisation, except here the cache is an explicit
+  :class:`EdgeNorm` pytree (pass it back in; pure functions don't hide
+  state);
+- the aggregation is one weighted SpMM: XLA segment-sum path by default,
+  or a bound Pallas ``SpmmOperator`` built over the self-loop-extended
+  edge set for the MXU one-hot kernel.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from pytorch_geometric_tpu.data.graph import Graph
+from pytorch_geometric_tpu.nn.inits import glorot, zeros
+from pytorch_geometric_tpu.ops.segment import segment_sum
+from pytorch_geometric_tpu.ops.spmm import spmm
+from pytorch_geometric_tpu.utils.loop import add_self_loops
+
+
+@struct.dataclass
+class EdgeNorm:
+    """Cached normalised edge set (self loops appended)."""
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    weights: jnp.ndarray
+
+
+def gcn_norm(graph: Graph, edge_weight=None, improved: bool = False,
+             dtype=jnp.float32) -> EdgeNorm:
+    """Symmetric normalisation with self loops: the first-call computation
+    the reference memoises under ``cached=True`` (examples/gcn.py:18)."""
+    N = graph.num_nodes
+    fill = 2.0 if improved else 1.0
+    if edge_weight is None:
+        edge_weight = graph.real_edge_mask().astype(dtype)
+    senders, receivers, w = add_self_loops(
+        graph.senders, graph.receivers, N, edge_weight, fill_value=fill)
+    deg = segment_sum(w, receivers, N)
+    dis = jnp.where(deg > 0, jnp.maximum(deg, 1e-12) ** -0.5, 0.0)
+    norm = dis[senders] * w * dis[receivers]
+    return EdgeNorm(senders=senders, receivers=receivers, weights=norm)
+
+
+class GCNConv(nn.Module):
+    out_channels: int
+    improved: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, graph: Graph, x, edge_weight=None,
+                 norm: Optional[EdgeNorm] = None, spmm_op=None):
+        weight = self.param("weight", glorot, (x.shape[-1],
+                                               self.out_channels))
+        h = jnp.dot(x, weight, preferred_element_type=jnp.float32)
+        if norm is None:
+            norm = gcn_norm(graph, edge_weight, self.improved, h.dtype)
+        if spmm_op is not None:
+            out = spmm_op(norm.weights, h)
+        else:
+            out = spmm(norm.senders, norm.receivers, h, graph.num_nodes,
+                       weights=norm.weights)
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.out_channels,))
+        return out

@@ -1,0 +1,228 @@
+"""SpMM — the hot op under every message-passing aggregation.
+
+Reference counterpart: torch-sparse's ``spmm`` + torch-scatter's
+``scatter_add`` (reference requirement.txt:1-3), the per-edge
+gather/segment-reduce in every ``propagate`` call (reference call stack
+SURVEY §3.1/§3.5: gather x_j = x[edge_index[0]], message, scatter-add by
+edge_index[1]).
+
+Two device paths:
+
+1. ``spmm`` — XLA gather + segment reduce.  Always correct, autodiff'd by
+   XLA, good baseline on TPU when edges are sorted by receiver.
+2. ``SpmmOperator`` — Pallas kernel.  Host-side windowed packing
+   (:mod:`pytorch_geometric_tpu.ops.pack`) turns gather/scatter into
+   one-hot matmuls on the MXU with in-VMEM accumulation over destination
+   windows; a custom VJP reuses the transposed packing for ``dx`` so the
+   backward is another MXU-resident SpMM.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_geometric_tpu.ops.pack import pack_windows
+from pytorch_geometric_tpu.ops.segment import scatter
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def spmm(senders, receivers, x, num_nodes, weights=None, reduce="sum",
+         indices_are_sorted=False):
+    """out[r] = reduce_{e: receivers[e]==r} weights[e] * x[senders[e]].
+
+    XLA path: per-edge gather then segment reduce.  ``num_nodes`` is the
+    static output row count (padded node count of the graph bucket).
+    """
+    msg = jnp.take(x, senders, axis=0)
+    if weights is not None:
+        w = weights.reshape(weights.shape + (1,) * (msg.ndim - weights.ndim))
+        msg = msg * w
+    return scatter(msg, receivers, num_nodes, reduce=reduce,
+                   indices_are_sorted=indices_are_sorted)
+
+
+# ---------------------------------------------------------------------------
+# Pallas windowed one-hot SpMM
+# ---------------------------------------------------------------------------
+
+def _spmm_kernel(window, tile,
+                 src_w_ref, dst_w_ref, first_ref,   # scalar prefetch
+                 x_ref, lsrc_ref, ldst_ref, w_ref,  # tensor inputs
+                 out_ref):
+    """One grid step: `tile` edges between one (src window, dst window).
+
+    Gather and scatter are expressed as one-hot matmuls so both run on the
+    MXU; padding edges carry weight 0 and vanish.  Output accumulates in
+    VMEM across consecutive tiles of the same destination window.
+    """
+    del src_w_ref, dst_w_ref
+    t = pl.program_id(1)
+    # Per-tile arrays are blocked (8, tile) for sublane alignment; row
+    # t % 8 of the block holds this tile's data.
+    row = t % 8
+    lsrc = lsrc_ref[row, :]                    # (tile,)
+    ldst = ldst_ref[row, :]
+    w = w_ref[row, :]
+    # gather one-hot: G[e, c] = (lsrc[e] == c)            -> (tile, window)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+    gat = (lsrc[:, None] == cols).astype(jnp.float32)
+    gathered = jax.lax.dot(gat, x_ref[:],
+                           preferred_element_type=jnp.float32)
+    gathered = gathered * w[:, None]
+    # scatter one-hot: S[r, e] = (ldst[e] == r)           -> (window, tile)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
+    scat = (rows == ldst[None, :]).astype(jnp.float32)
+    contrib = jax.lax.dot(scat, gathered,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(first_ref[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
+                     tile_src_win, tile_dst_win, tile_first,
+                     *, window, tile, n_dst_windows, f_tile):
+    """Invoke the Pallas kernel.  x_pad: (n_src_windows*window, Fp)."""
+    T = tile_src_win.shape[0]  # real tile count (w_packed rows padded to 8)
+    fp = x_pad.shape[1]
+    n_ft = fp // f_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ft, T),
+        in_specs=[
+            pl.BlockSpec((window, f_tile),
+                         lambda j, t, srcw, dstw, first: (srcw[t], j)),
+            pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
+            pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
+            pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (window, f_tile),
+            lambda j, t, srcw, dstw, first: (dstw[t], j)),
+    )
+    kernel = functools.partial(_spmm_kernel, window, tile)
+    flops = 2 * 2 * T * tile * window * fp
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_dst_windows * window, fp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=T * (tile * 12 + window * fp * 8),
+            transcendentals=0),
+        # Tests run on a virtual CPU mesh; Mosaic only targets TPU.
+        interpret=jax.default_backend() != "tpu",
+    )(tile_src_win, tile_dst_win, tile_first,
+      x_pad, local_src, local_dst, w_packed)
+
+
+class SpmmOperator:
+    """Pallas SpMM bound to a fixed edge structure.
+
+    Built host-side once per graph bucket (loader-time).  Differentiable
+    in (weights, x): ``dx`` runs the transposed packing through the same
+    kernel; ``dweights`` is the SDDMM ``sum_f g[recv] * x[send]``.
+
+    Usage::
+
+        op = SpmmOperator(senders, receivers, num_nodes)
+        out = op(weights, x)          # (num_nodes, F)
+    """
+
+    def __init__(self, senders, receivers, num_nodes, *, window=256,
+                 tile=256):
+        if tile % 128:
+            raise ValueError(f"tile must be a multiple of 128, got {tile}")
+        if window % 8:
+            raise ValueError(f"window must be a multiple of 8, got {window}")
+        senders = np.asarray(senders)
+        receivers = np.asarray(receivers)
+        self.window, self.tile = window, tile
+        self.num_nodes = int(num_nodes)
+        self.fwd = pack_windows(senders, receivers, num_nodes,
+                                window=window, tile=tile)
+        self.bwd = pack_windows(receivers, senders, num_nodes,
+                                window=window, tile=tile)
+        self.senders = jnp.asarray(senders, dtype=jnp.int32)
+        self.receivers = jnp.asarray(receivers, dtype=jnp.int32)
+        self._dev = {}
+        for name, pk in (("fwd", self.fwd), ("bwd", self.bwd)):
+            T8 = _round_up(pk.num_tiles, 8)
+
+            def pad_rows(a):
+                if a.shape[0] == T8:
+                    return a
+                pad = np.zeros((T8 - a.shape[0],) + a.shape[1:], a.dtype)
+                return np.concatenate([a, pad])
+
+            self._dev[name] = dict(
+                perm=jnp.asarray(pk.perm),
+                local_src=jnp.asarray(pad_rows(pk.local_src)),
+                local_dst=jnp.asarray(pad_rows(pk.local_dst)),
+                tile_src_win=jnp.asarray(pk.tile_src_win),
+                tile_dst_win=jnp.asarray(pk.tile_dst_win),
+                tile_first=jnp.asarray(pk.tile_first),
+            )
+
+    # --- internals --------------------------------------------------------
+
+    def _run(self, which, weights, x):
+        pk = self.fwd if which == "fwd" else self.bwd
+        dv = self._dev[which]
+        N, F = self.num_nodes, x.shape[1]
+        f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
+        fp = _round_up(F, f_tile)
+        x_pad = jnp.zeros((pk.num_src_windows * pk.window, fp), jnp.float32)
+        x_pad = x_pad.at[:N, :F].set(x.astype(jnp.float32))
+        w_ext = jnp.concatenate(
+            [weights.astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
+        T = pk.num_tiles
+        T8 = _round_up(T, 8)
+        w_packed = jnp.take(w_ext, dv["perm"]).reshape(T, pk.tile)
+        if T8 != T:  # pad tile-row dim for (8, tile) blocking
+            w_packed = jnp.concatenate(
+                [w_packed, jnp.zeros((T8 - T, pk.tile), jnp.float32)])
+        out = _spmm_pallas_raw(
+            x_pad, w_packed, dv["local_src"], dv["local_dst"],
+            dv["tile_src_win"], dv["tile_dst_win"], dv["tile_first"],
+            window=pk.window, tile=pk.tile,
+            n_dst_windows=pk.num_dst_windows, f_tile=f_tile)
+        return out[:N, :F]
+
+    # --- public -----------------------------------------------------------
+
+    def __call__(self, weights, x):
+        return _spmm_apply(self, weights, x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_apply(op, weights, x):
+    return op._run("fwd", weights, x)
+
+
+def _spmm_apply_fwd(op, weights, x):
+    return op._run("fwd", weights, x), (weights, x)
+
+
+def _spmm_apply_bwd(op, res, g):
+    weights, x = res
+    dx = op._run("bwd", weights, g.astype(jnp.float32)).astype(x.dtype)
+    dw = jnp.sum(jnp.take(g, op.receivers, axis=0)
+                 * jnp.take(x, op.senders, axis=0), axis=-1)
+    return dw.astype(weights.dtype), dx
+
+
+_spmm_apply.defvjp(_spmm_apply_fwd, _spmm_apply_bwd)

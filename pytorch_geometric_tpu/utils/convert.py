@@ -1,0 +1,48 @@
+"""Sparse <-> dense conversions (reference: ToDense transform and
+dense_diff_pool's input format, examples/enzymes_diff_pool.py)."""
+
+import jax.numpy as jnp
+
+
+def to_dense_adj(senders, receivers, batch=None, edge_weight=None,
+                 num_nodes=None, max_num_nodes=None, edge_mask=None):
+    """Build dense adjacency.  Single graph: (N, N).  Batched: (G, M, M)
+    using per-graph local indices (padding edges must be masked)."""
+    if edge_weight is None:
+        edge_weight = jnp.ones(senders.shape, dtype=jnp.float32)
+    if edge_mask is not None:
+        edge_weight = jnp.where(edge_mask, edge_weight, 0.0)
+    if batch is None:
+        n = num_nodes
+        adj = jnp.zeros((n, n), dtype=edge_weight.dtype)
+        return adj.at[senders, receivers].add(edge_weight)
+    raise NotImplementedError(
+        "Batched dense adjacency: use DenseDataLoader / ToDense transform "
+        "which pre-densifies per graph on host.")
+
+
+def to_dense_batch(x, batch, num_graphs, max_num_nodes, node_mask=None):
+    """Scatter node features into (G, M, F) + (G, M) mask."""
+    import jax
+    n = x.shape[0]
+    # position of each node within its graph
+    ones = jnp.ones((n,), dtype=jnp.int32)
+    if node_mask is not None:
+        ones = jnp.where(node_mask, ones, 0)
+    # cumulative count per graph: stable position index
+    order = jnp.argsort(batch, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    sorted_batch = batch[order]
+    idx_in_graph = jnp.arange(n) - jnp.searchsorted(
+        sorted_batch, sorted_batch, side="left")
+    pos = idx_in_graph[inv]
+    out = jnp.zeros((num_graphs, max_num_nodes) + x.shape[1:], x.dtype)
+    mask = jnp.zeros((num_graphs, max_num_nodes), dtype=bool)
+    valid = pos < max_num_nodes
+    if node_mask is not None:
+        valid = valid & node_mask
+    safe_pos = jnp.where(valid, pos, max_num_nodes - 1)
+    out = out.at[batch, safe_pos].set(
+        jnp.where(valid.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0))
+    mask = mask.at[batch, safe_pos].max(valid)
+    return out, mask
