@@ -12,9 +12,15 @@ from pytorch_geometric_tpu.nn.conv.agnn_conv import AGNNConv  # noqa: F401
 from pytorch_geometric_tpu.nn.conv.nn_conv import NNConv  # noqa: F401
 from pytorch_geometric_tpu.nn.conv.rgcn_conv import RGCNConv  # noqa: F401
 from pytorch_geometric_tpu.nn.conv.dna_conv import DNAConv  # noqa: F401
+from pytorch_geometric_tpu.nn.conv.spline_conv import (  # noqa: F401
+    SplineConv,
+    spline_basis,
+)
+from pytorch_geometric_tpu.nn.conv.point_conv import PointConv  # noqa: F401
 
 __all__ = [
     "GCNConv", "gcn_norm", "EdgeNorm", "GATConv", "GraphConv", "GINConv",
     "SAGEConv", "DenseSAGEConv", "ChebConv", "SGConv", "sgc_precompute",
     "ARMAConv", "AGNNConv", "NNConv", "RGCNConv", "DNAConv",
+    "SplineConv", "spline_basis", "PointConv",
 ]
