@@ -1,0 +1,157 @@
+"""Extended benchmark suite (the headline single-line bench stays in
+bench.py).
+
+Mirrors the reference's README speed table (200-epoch full-training
+wall-clock for GCN/GAT on Cora/CiteSeer/PubMed — reference
+README.md:55-128, BASELINE.md) plus kernel-level SpMM throughput
+(edges/s, XLA vs Pallas paths) for roofline tracking.
+
+Usage: python bench_suite.py [--quick]
+Prints one JSON line per benchmark.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINES = {  # reference wall-clock seconds on GTX 1080Ti
+    ("cora", "gcn"): 0.25, ("cora", "gat"): 0.80,
+    ("citeseer", "gcn"): 0.30, ("citeseer", "gat"): 0.88,
+    ("pubmed", "gcn"): 0.32, ("pubmed", "gat"): 2.42,
+}
+
+
+def _time(fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_citation(dataset: str, model_name: str, epochs: int = 200):
+    import optax
+    from flax import linen as nn
+
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets import Planetoid
+    from pytorch_geometric_tpu.models.citation import (
+        GCN, create_gcn_train_step, masked_softmax_xent)
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+
+    ds = Planetoid("datasets_cache", dataset.capitalize(),
+                   transform=NormalizeFeatures())
+    graph = from_data(ds[0])
+    C = ds.num_classes
+
+    if model_name == "gcn":
+        model = GCN(hidden_channels=16, num_classes=C)
+        init_fn, epoch_step, _ = create_gcn_train_step(model, graph)
+        key = jax.random.PRNGKey(0)
+        params, opt_state = init_fn(key)
+
+        @jax.jit
+        def run(params, opt_state, key):
+            (params, opt_state, _), m = jax.lax.scan(
+                epoch_step, (params, opt_state, key), None, length=epochs)
+            return m["loss"][-1]
+
+        elapsed = _time(run, params, opt_state, key)
+    else:
+        from examples.gat import GAT
+        model = GAT(num_classes=C)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, graph,
+                            graph.x)
+        tx = optax.adamw(5e-3, weight_decay=5e-4)
+        opt = tx.init(params)
+
+        def epoch_step(carry, _):
+            params, opt, key = carry
+            key, sub = jax.random.split(key)
+
+            def loss_fn(p):
+                logits = model.apply(p, graph, graph.x, train=True,
+                                     rngs={"dropout": sub})
+                return masked_softmax_xent(logits, graph.y,
+                                           graph.train_mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            import optax as _o
+            return (_o.apply_updates(params, updates), opt, key), loss
+
+        @jax.jit
+        def run(params, opt, key):
+            (_, _, _), losses = jax.lax.scan(epoch_step,
+                                             (params, opt, key), None,
+                                             length=epochs)
+            return losses[-1]
+
+        elapsed = _time(run, params, opt, key)
+
+    base = BASELINES.get((dataset, model_name))
+    print(json.dumps({
+        "metric": f"{dataset}_{model_name}_{epochs}epoch_wallclock",
+        "value": round(elapsed, 6), "unit": "s",
+        "vs_baseline": round(base / elapsed, 3) if base else None,
+    }))
+    return elapsed
+
+
+def bench_spmm(n=100_000, e=2_000_000, f=128):
+    from pytorch_geometric_tpu.ops.spmm import SpmmOperator, spmm
+
+    rng = np.random.default_rng(0)
+    senders = rng.integers(0, n, e)
+    receivers = np.sort(rng.integers(0, n, e))
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    sj, rj = jnp.asarray(senders, jnp.int32), jnp.asarray(receivers,
+                                                          jnp.int32)
+    wj, xj = jnp.asarray(w), jnp.asarray(x)
+
+    xla = jax.jit(lambda w_, x_: spmm(sj, rj, x_, n, weights=w_,
+                                      indices_are_sorted=True))
+    t_xla = _time(xla, wj, xj)
+    print(json.dumps({
+        "metric": "spmm_xla_edges_per_s",
+        "value": round(e / t_xla / 1e9, 4), "unit": "Gedge/s",
+        "vs_baseline": None,
+        "detail": {"n": n, "e": e, "f": f, "ms": round(t_xla * 1e3, 3)},
+    }))
+
+    op = SpmmOperator(senders, receivers, n, window=1024, tile=512)
+    pallas = jax.jit(lambda w_, x_: op(w_, x_))
+    t_p = _time(pallas, wj, xj)
+    print(json.dumps({
+        "metric": "spmm_pallas_edges_per_s",
+        "value": round(e / t_p / 1e9, 4), "unit": "Gedge/s",
+        "vs_baseline": round(t_xla / t_p, 3),
+        "detail": {"ms": round(t_p * 1e3, 3),
+                   "flop_inflation": round(op.fwd.flop_inflation, 2)},
+    }))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--skip-spmm", action="store_true")
+    args = p.parse_args()
+    datasets = ["cora"] if args.quick else ["cora", "citeseer", "pubmed"]
+    for ds in datasets:
+        for m in ["gcn", "gat"]:
+            bench_citation(ds, m)
+    if not args.skip_spmm:
+        bench_spmm()
+
+
+if __name__ == "__main__":
+    main()

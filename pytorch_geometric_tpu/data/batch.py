@@ -84,6 +84,10 @@ def collate(
         for key, value in d:
             if key in ("edge_index", "face"):
                 continue
+            # node-index-valued fields (host-precomputed cluster maps)
+            # must be offset like edge_index
+            if key.startswith("cluster"):
+                value = value + node_off
             if key == "y":
                 is_node = value.ndim > 0 and value.shape[:1] == (n,) \
                     and n != G

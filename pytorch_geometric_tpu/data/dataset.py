@@ -106,7 +106,11 @@ class Dataset:
     def __getitem__(self, idx):
         if isinstance(idx, (int, np.integer)):
             data = self.get(int(idx))
-            return data if self.transform is None else self.transform(data)
+            if self.transform is None:
+                return data
+            # clone so access-time transforms never mutate the cache
+            # (matches the reference's InMemoryDataset.get clone)
+            return self.transform(data.clone())
         return self.index_select(idx)
 
     def index_select(self, idx) -> "Subset":

@@ -1,0 +1,137 @@
+"""Neighbor-sampled mini-batch loader (GraphSAGE-style).
+
+The reference's sampled-minibatch counterpart is PPI/Reddit training
+(examples/ppi.py:11-16; SURVEY §5 long-context row: host-pipelined
+neighbor sampling is the TPU analog of scaling the sequence).  This
+loader implements the north-star config "GraphSAGE + NeighborSampler on
+PPI/Reddit":
+
+- host-side CSR of in-edges (built once; native C++ sampler from
+  ``cluster.sample_neighbors`` when available),
+- per batch: multi-hop uniform sampling from seed nodes, compacted to
+  local ids, padded to static budgets -> one compiled shape per loader,
+- the output Graph carries ``seed_mask`` (loss is evaluated on seeds
+  only) and layer-wise edge sets are merged (standard SAGE full-depth
+  subgraph form).
+"""
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_geometric_tpu.cluster import sample_neighbors
+from pytorch_geometric_tpu.data.graph import Graph
+
+
+class NeighborSampler:
+    """Iterates padded sampled subgraphs over seed-node batches."""
+
+    def __init__(self, senders, receivers, num_nodes: int,
+                 sizes: Sequence[int], node_features=None, labels=None,
+                 batch_size: int = 512, shuffle: bool = True,
+                 seed_nodes=None, seed: int = 0):
+        senders = np.asarray(senders, dtype=np.int64)
+        receivers = np.asarray(receivers, dtype=np.int64)
+        self.num_nodes = int(num_nodes)
+        self.sizes = list(sizes)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self.x = None if node_features is None else \
+            np.asarray(node_features)
+        self.y = None if labels is None else np.asarray(labels)
+        self.seed_nodes = np.arange(num_nodes) if seed_nodes is None \
+            else np.asarray(seed_nodes)
+
+        # CSR over receivers (in-neighbors per node)
+        order = np.argsort(receivers, kind="stable")
+        self._indices = senders[order]
+        counts = np.bincount(receivers, minlength=num_nodes)
+        self._indptr = np.concatenate([[0], np.cumsum(counts)])
+
+        # static budgets
+        frontier = batch_size
+        n_budget = batch_size
+        e_budget = 0
+        for s in self.sizes:
+            e_budget += frontier * s
+            frontier = frontier * s
+            n_budget += frontier
+        self.node_budget = n_budget + 1      # +1 padding node
+        self.edge_budget = max(e_budget, 1)
+
+    def __len__(self):
+        return -(-len(self.seed_nodes) // self.batch_size)
+
+    def __iter__(self):
+        seeds = self.seed_nodes.copy()
+        if self.shuffle:
+            self._rng.shuffle(seeds)
+        for start in range(0, len(seeds), self.batch_size):
+            yield self._sample(seeds[start:start + self.batch_size])
+
+    def _sample(self, seeds: np.ndarray) -> Graph:
+        all_src, all_dst = [], []
+        frontier = seeds
+        for k in self.sizes:
+            src, dst = sample_neighbors(
+                self._indptr, self._indices, frontier, k,
+                seed=int(self._rng.integers(2 ** 31)))
+            all_src.append(src)
+            all_dst.append(dst)
+            frontier = np.unique(src)
+        src = np.concatenate(all_src) if all_src else \
+            np.empty(0, np.int64)
+        dst = np.concatenate(all_dst) if all_dst else \
+            np.empty(0, np.int64)
+
+        # compact: seeds first (so seed rows are 0..B-1), then the rest
+        nodes = np.concatenate([seeds, src, dst])
+        uniq = np.unique(nodes)
+        rest = np.setdiff1d(uniq, seeds, assume_unique=False)
+        local_ids = np.concatenate([seeds, rest])
+        lookup = {int(g): i for i, g in enumerate(local_ids)}
+        n_real = len(local_ids)
+        e_real = len(src)
+
+        N, E = self.node_budget, self.edge_budget
+        if n_real + 1 > N or e_real > E:   # over budget: trim edges
+            keep = slice(0, E)
+            src, dst = src[keep], dst[keep]
+            e_real = len(src)
+
+        s_local = np.full(E, n_real, np.int32)
+        d_local = np.full(E, n_real, np.int32)
+        s_local[:e_real] = [lookup[int(v)] for v in src]
+        d_local[:e_real] = [lookup[int(v)] for v in dst]
+        edge_mask = np.zeros(E, bool)
+        edge_mask[:e_real] = True
+        node_mask = np.zeros(N, bool)
+        node_mask[:n_real] = True
+        seed_mask = np.zeros(N, bool)
+        seed_mask[: len(seeds)] = True
+
+        x = None
+        if self.x is not None:
+            x = np.zeros((N,) + self.x.shape[1:], np.float32)
+            x[:n_real] = self.x[local_ids]
+        y = None
+        if self.y is not None:
+            y = np.zeros((N,) + self.y.shape[1:], self.y.dtype)
+            y[:n_real] = self.y[local_ids]
+
+        # sort by receiver for the fast segment path
+        order = np.argsort(d_local, kind="stable")
+        return Graph(
+            senders=jnp.asarray(s_local[order]),
+            receivers=jnp.asarray(d_local[order]),
+            x=None if x is None else jnp.asarray(x),
+            y=None if y is None else jnp.asarray(y),
+            node_mask=jnp.asarray(node_mask),
+            edge_mask=jnp.asarray(edge_mask[order]),
+            extras={"seed_mask": jnp.asarray(seed_mask),
+                    "local_to_global": jnp.asarray(
+                        np.concatenate([local_ids, np.zeros(
+                            N - n_real, np.int64)]).astype(np.int32))},
+            num_graphs=1, edges_sorted=True)

@@ -105,7 +105,13 @@ def synthetic_graph_classification(num_graphs: int, avg_nodes: int,
         _, first = np.unique(key, return_index=True)
         ei = ei[:, first]
         if num_node_labels:
-            lab = rng.integers(0, num_node_labels, size=n)
+            # class-dependent label histogram: graph class y shifts the
+            # node-label distribution, so sum-pooling readouts are
+            # discriminative (keeps offline examples learnable)
+            logits = rng.normal(size=num_node_labels) \
+                + 2.0 * np.eye(num_node_labels)[y % num_node_labels]
+            p = np.exp(logits) / np.exp(logits).sum()
+            lab = rng.choice(num_node_labels, size=n, p=p)
             x = np.eye(num_node_labels, dtype=np.float32)[lab]
         else:
             x = rng.normal(y * 0.5, 1.0, size=(n, num_features)) \

@@ -6,6 +6,7 @@ Semantics: P_ij = softmax_j(beta * cos(x_i, x_j)) over N(i) ∪ {i};
 x' = P x.  beta trainable iff requires_grad.
 """
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,8 +31,8 @@ class AGNNConv(nn.Module):
         mask = jnp.concatenate(
             [graph.real_edge_mask(), jnp.ones((N,), dtype=bool)])
 
-        xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
-                             1e-12)
+        xn = x * jax.lax.rsqrt(
+            jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
         cos = jnp.sum(jnp.take(xn, senders, axis=0)
                       * jnp.take(xn, receivers, axis=0), axis=-1)
         alpha = segment_softmax(beta[0] * cos, receivers, N, mask=mask)

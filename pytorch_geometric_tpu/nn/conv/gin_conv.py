@@ -29,7 +29,12 @@ class GINConv(nn.Module):
         else:
             eps = self.eps
         out = (1.0 + eps) * x + agg
-        try:
-            return self.mlp(out, train=train)
-        except TypeError:
-            return self.mlp(out)
+        # The wrapped MLP may want the node mask (padding-aware BatchNorm)
+        # and/or a train flag; degrade gracefully for plain modules.
+        for kwargs in ({"mask": graph.node_mask, "train": train},
+                       {"train": train}, {}):
+            try:
+                return self.mlp(out, **kwargs)
+            except TypeError:
+                continue
+        return self.mlp(out)

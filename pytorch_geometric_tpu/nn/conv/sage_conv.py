@@ -6,6 +6,7 @@ uses the dense form inside DiffPool blocks).  Semantics (PyG 1.4.x):
 x' = W . mean_{j in N(i) ∪ {i}} x_j (+ b), optional L2 normalisation.
 """
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,8 +36,8 @@ class SAGEConv(nn.Module):
         if self.use_bias:
             out = out + self.param("bias", zeros, (self.out_channels,))
         if self.normalize:
-            out = out / jnp.maximum(
-                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+            out = out * jax.lax.rsqrt(
+                jnp.sum(out * out, axis=-1, keepdims=True) + 1e-12)
         return out
 
 
@@ -65,8 +66,10 @@ class DenseSAGEConv(nn.Module):
         if self.use_bias:
             out = out + self.param("bias", zeros, (self.out_channels,))
         if self.normalize:
-            out = out / jnp.maximum(
-                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+            # rsqrt form: zero rows (masked nodes) get zero output with a
+            # finite gradient, unlike norm-division (NaN at 0)
+            out = out * jax.lax.rsqrt(
+                jnp.sum(out * out, axis=-1, keepdims=True) + 1e-12)
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
         return out

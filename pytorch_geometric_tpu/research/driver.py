@@ -1,0 +1,271 @@
+"""Convex-pruning research pipeline driver.
+
+Reference counterpart: ConvexPruning.py — ``TrainingNet`` (:443): dataset
+dispatch -> ContractionLayerCoefficients widths -> model -> PHASE 1
+pre-train (``TrainPart`` :47-95) -> ``RetainNetworkSize`` SVD width
+pruning (:551) -> rebuild smaller net (:552-566) -> PHASE 2 fine-tune
+with periodic ``WeightCorrection`` every 20 epochs past
+StartTopoCoeffi * epochs (:58-64) -> best-metric checkpoints (:78-88)
+-> per-Monte-Carlo ``.npy`` convergence curves under
+Results/<dataset>Convergence (:569-576) -> CLI (:580-626).
+
+TPU-first: the epoch loop is jitted (scan for the correction-free
+stretches); weight correction runs host-side between scans, exactly the
+host/device split of the reference (SURVEY §3.3).
+"""
+
+import argparse
+import os
+import os.path as osp
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pytorch_geometric_tpu.data import from_data
+from pytorch_geometric_tpu.datasets import (
+    Amazon,
+    CoraFull,
+    Planetoid,
+    Reddit,
+)
+from pytorch_geometric_tpu.models.citation import (
+    masked_accuracy,
+    masked_softmax_xent,
+)
+from pytorch_geometric_tpu.models.prunable import choose_model
+from pytorch_geometric_tpu.research.checkpoint import CheckpointManager
+from pytorch_geometric_tpu.research.pruning import (
+    contraction_layer_coefficients,
+    retain_network_size,
+)
+from pytorch_geometric_tpu.research.spectral import weight_correction
+from pytorch_geometric_tpu.transforms import NormalizeFeatures
+
+
+def load_citation_dataset(name: str, root: str = "datasets_cache"):
+    """Dataset dispatch (reference :458-517 subset: citation-style)."""
+    name_l = name.lower()
+    if name_l in ("cora", "citeseer", "pubmed"):
+        ds = Planetoid(root, name, transform=NormalizeFeatures())
+    elif name_l == "corafull":
+        ds = CoraFull(root)
+    elif name_l in ("computers", "photo"):
+        ds = Amazon(root, name_l)
+    elif name_l == "reddit":
+        ds = Reddit(root)
+    else:
+        raise ValueError(f"unsupported dataset {name}")
+    data = ds[0]
+    if getattr(data, "train_mask", None) is None:
+        # datasets without canonical splits: random 60/20/20
+        rng = np.random.default_rng(0)
+        split = rng.random(data.num_nodes)
+        data.train_mask = split < 0.6
+        data.val_mask = (split >= 0.6) & (split < 0.8)
+        data.test_mask = split >= 0.8
+    return ds, from_data(data)
+
+
+class TrainPartResult:
+    def __init__(self, params, opt_state, train_conv, test_conv, best):
+        self.params = params
+        self.opt_state = opt_state
+        self.train_convergence = train_conv
+        self.test_convergence = test_conv
+        self.best_acc = best
+
+
+def train_part(model, graph, params, epochs: int, lr: float = 0.01,
+               weight_decay: float = 5e-4, seed: int = 0,
+               correction_epochs: Optional[Sequence[int]] = None,
+               correction_kwargs: Optional[dict] = None,
+               ckpt: Optional[CheckpointManager] = None,
+               run_key: str = "run", monte: int = 0
+               ) -> TrainPartResult:
+    """One training phase (reference TrainPart :47-95): scan-jitted
+    epochs, interrupted at ``correction_epochs`` for host-side spectral
+    weight correction, checkpointing on best val accuracy."""
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(seed + monte)
+
+    def epoch_step(carry, _):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            logits = model.apply(p, graph, graph.x, train=True,
+                                 rngs={"dropout": sub})
+            return masked_softmax_xent(logits, graph.y, graph.train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, key), loss
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=3)
+    def run_span(params, opt_state, key, length):
+        return jax.lax.scan(epoch_step, (params, opt_state, key), None,
+                            length=length)
+
+    @jax.jit
+    def evaluate(params):
+        logits = model.apply(params, graph, graph.x)
+        return (masked_accuracy(logits, graph.y, graph.train_mask),
+                masked_accuracy(logits, graph.y, graph.val_mask),
+                masked_accuracy(logits, graph.y, graph.test_mask))
+
+    corrections = sorted(set(correction_epochs or []))
+    spans = []
+    prev = 0
+    for c in corrections:
+        if prev < c <= epochs:
+            spans.append((c - prev, True))
+            prev = c
+    if prev < epochs:
+        spans.append((epochs - prev, False))
+
+    train_conv: List[float] = []
+    test_conv: List[float] = []
+    best = 0.0
+    for length, correct_after in spans:
+        (params, opt_state, key), losses = run_span(
+            params, opt_state, key, length)
+        train_conv.extend(np.asarray(losses).tolist())
+        tr, va, te = (float(v) for v in evaluate(params))
+        test_conv.append(te)
+        if ckpt is not None and ckpt.save_best(
+                run_key, va, params, opt_state, train_conv, test_conv,
+                epoch=len(train_conv)):
+            pass
+        best = max(best, va)
+        if correct_after:
+            params, applied = weight_correction(
+                params, **(correction_kwargs or {"num_classes": 4}))
+    return TrainPartResult(params, opt_state, train_conv, test_conv, best)
+
+
+def training_net(dataset: str = "Cora", model_name: str = "GCN",
+                 num_layers: int = 2, con_coeff: float = 0.6,
+                 alpha: float = 0.5, epochs: int = 100,
+                 fine_tune_epochs: int = 100, lr: float = 0.01,
+                 start_topo_coeff: float = 0.5, vector_pairs: int = 2,
+                 correction_coeff: float = 0.001,
+                 link_prediction_method: str = "resource_allocation_index",
+                 monte_size: int = 1, seed: int = 0,
+                 results_dir: str = "Results", resume: bool = False,
+                 ckpt_dir: str = "checkpoint"):
+    """The full pipeline (reference TrainingNet :443-576 + Monte loop
+    :452).  Saves Train/Test convergence .npy files keyed by
+    hyperparameters, like the reference's filename registry (:569-576)."""
+    ds, graph = load_citation_dataset(dataset)
+    num_classes = ds.num_classes
+    ckpt = CheckpointManager(ckpt_dir)
+    out_dir = osp.join(results_dir, f"{dataset}Convergence")
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+
+    for monte in range(monte_size):
+        widths = contraction_layer_coefficients(
+            graph.num_node_features, num_layers, alpha, seed=seed + monte)
+        model = choose_model(model_name, widths, num_classes)
+        key = jax.random.PRNGKey(seed + monte)
+        params = model.init({"params": key, "dropout": key}, graph,
+                            graph.x)
+        run_key = (f"{dataset}-{model_name}{num_layers}-"
+                   f"{'_'.join(map(str, widths))}-{con_coeff}-{monte}")
+        if resume:
+            restored = ckpt.resume(run_key)
+            if restored is not None:
+                params = restored[0]
+
+        # PHASE 1: pre-train
+        phase1 = train_part(model, graph, params, epochs, lr=lr,
+                            seed=seed, ckpt=ckpt,
+                            run_key=run_key + "-phase1", monte=monte)
+
+        # SVD width pruning -> rebuild smaller net
+        new_widths = retain_network_size(phase1.params, con_coeff)
+        new_widths = [max(int(w), 1) for w in new_widths[:num_layers]] \
+            or widths
+        pruned_model = choose_model(model_name, new_widths, num_classes)
+        key2 = jax.random.PRNGKey(seed + monte + 1)
+        pruned_params = pruned_model.init(
+            {"params": key2, "dropout": key2}, graph, graph.x)
+
+        # PHASE 2: fine-tune with periodic spectral weight correction
+        start = int(start_topo_coeff * fine_tune_epochs)
+        corrections = list(range(start + 20, fine_tune_epochs, 20))
+        phase2 = train_part(
+            pruned_model, graph, pruned_params, fine_tune_epochs, lr=lr,
+            seed=seed + 1, ckpt=ckpt, run_key=run_key + "-phase2",
+            monte=monte,
+            correction_epochs=corrections,
+            correction_kwargs=dict(
+                num_classes=num_classes,
+                method=link_prediction_method,
+                vector_pairs=vector_pairs,
+                correction_coeff=correction_coeff))
+
+        params_tag = f"param_{'_'.join(map(str, widths))}_{con_coeff}"
+        np.save(osp.join(
+            out_dir,
+            f"TrainConvergence-{dataset}-{model_name}{num_layers}-"
+            f"{params_tag}-monte_{monte}.npy"),
+            np.asarray(phase2.train_convergence))
+        np.save(osp.join(
+            out_dir,
+            f"TestConvergence-{dataset}-{model_name}{num_layers}-"
+            f"{params_tag}-monte_{monte}.npy"),
+            np.asarray(phase2.test_convergence))
+        results.append({
+            "monte": monte, "widths": widths, "new_widths": new_widths,
+            "pretrain_best": phase1.best_acc,
+            "finetune_best": phase2.best_acc,
+        })
+    return results
+
+
+def main(argv=None):
+    """CLI mirroring the reference's flags (ConvexPruning.py:580-611)."""
+    p = argparse.ArgumentParser(description="Convex pruning pipeline")
+    p.add_argument("--dataset", default="Cora")
+    p.add_argument("--modelName", default="GCN")
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--ConCoeff", type=float, default=0.6)
+    p.add_argument("--CutoffCoeff", type=float, default=0.5, dest="alpha")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--fine_tune_epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--StartTopoCoeffi", type=float, default=0.5)
+    p.add_argument("--VectorPairs", type=int, default=2)
+    p.add_argument("--WeightCorrectionCoeffi", type=float, default=0.001)
+    p.add_argument("--LinkPredictionMethod",
+                   default="resource_allocation_index")
+    p.add_argument("--MonteSize", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", "-r", action="store_true")
+    p.add_argument("--savepath", default="Results")
+    args = p.parse_args(argv)
+    res = training_net(
+        dataset=args.dataset, model_name=args.modelName,
+        num_layers=args.num_layers, con_coeff=args.ConCoeff,
+        alpha=args.alpha, epochs=args.epochs,
+        fine_tune_epochs=args.fine_tune_epochs, lr=args.lr,
+        start_topo_coeff=args.StartTopoCoeffi,
+        vector_pairs=args.VectorPairs,
+        correction_coeff=args.WeightCorrectionCoeffi,
+        link_prediction_method=args.LinkPredictionMethod,
+        monte_size=args.MonteSize, seed=args.seed,
+        results_dir=args.savepath, resume=args.resume)
+    for r in res:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

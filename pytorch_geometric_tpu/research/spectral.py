@@ -1,0 +1,237 @@
+"""Weight-matrix spectral analysis + Fiedler weight correction.
+
+Reference counterpart: SpectralAnalysis.py — ``WeightsToAdjaency`` (:43),
+``Compute_fiedler_vector`` (:208-217, cupy eigh), ``Fiedler_vector_cluster``
+(:219-239), ``WeightedLinkPrediction`` (:253-289), ``WeightCorrection``
+(:312-430), ``power_iteration`` (:437).
+
+TPU redesign: the GPU dense eigendecomposition (cupy) becomes
+``jnp.linalg.eigh`` on device; graph bookkeeping stays host-side
+networkx, exactly like the reference's host/device split (SURVEY §3.3).
+Weight pytrees replace ``state_dict`` — corrections are returned as a new
+pytree, not mutated in place.
+"""
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+
+from pytorch_geometric_tpu.research import link_prediction as lp
+
+
+def weights_to_adjacency(weights: np.ndarray, start_node: int = 0,
+                         max_edges: int = 0
+                         ) -> Tuple[nx.Graph, nx.Graph]:
+    """Bipartite (inputs x outputs) graph of one weight matrix; node ids
+    offset by ``start_node`` (reference WeightsToAdjaency semantics:
+    rows first, then columns).  ``max_edges > 0`` keeps only the
+    largest-|w| entries — bounds the O(M*N) graph build for wide layers
+    (the reference ran this on already-pruned small nets)."""
+    M, N = weights.shape
+    rows, cols = np.meshgrid(np.arange(M), np.arange(N), indexing="ij")
+    rows, cols = rows.reshape(-1), cols.reshape(-1)
+    vals = np.asarray(weights).reshape(-1)
+    if max_edges and vals.size > max_edges:
+        keep = np.argpartition(-np.abs(vals), max_edges)[:max_edges]
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    Gw = nx.Graph()
+    Gu = nx.Graph()
+    Gw.add_nodes_from(range(start_node, start_node + M + N))
+    Gu.add_nodes_from(range(start_node, start_node + M + N))
+    edges = [(start_node + int(i), start_node + M + int(j), float(v))
+             for i, j, v in zip(rows, cols, vals)]
+    Gw.add_weighted_edges_from(edges)
+    Gu.add_edges_from((u, v) for u, v, _ in edges)
+    return Gw, Gu
+
+
+def compute_fiedler_vector(G: nx.Graph):
+    """(algebraic connectivity, Fiedler vector) of the normalised
+    Laplacian — eigh on device (replaces the reference's cupy eigh)."""
+    lap = nx.normalized_laplacian_matrix(G, weight="weight").toarray()
+    w, v = jnp.linalg.eigh(jnp.asarray(lap, dtype=jnp.float64)
+                           if lap.dtype == np.float64
+                           else jnp.asarray(lap))
+    return np.real(np.asarray(w[1])), np.real(np.asarray(v[:, 1]))
+
+
+def fiedler_vector_cluster(G: nx.Graph) -> List[nx.Graph]:
+    """Split G into the two sign-classes of its Fiedler vector; returns
+    the (nonempty) induced subgraphs (reference :219-239)."""
+    if G.number_of_edges() == 0:
+        return [G]
+    _, vec = compute_fiedler_vector(G)
+    nodes = list(G.nodes())
+    part_one = [nodes[i] for i in range(len(nodes)) if vec[i] < 0]
+    part_two = [nodes[i] for i in range(len(nodes)) if vec[i] >= 0]
+    out = []
+    for part in (part_one, part_two):
+        sub = G.subgraph(part).copy()
+        if sub.number_of_edges() > 0:
+            out.append(sub)
+    return out or [G]
+
+
+def recursive_fiedler_partition(G: nx.Graph, num_classes: int
+                                ) -> Dict[int, List[int]]:
+    """Recursive bipartition until >= num_classes parts (reference
+    WeightCorrection's loop at :365-382)."""
+    parts = [G]
+    max_iter = int(math.floor(math.log(max(num_classes, 2), 2))) + 1
+    it = 0
+    while len(parts) < num_classes and it < max_iter:
+        nxt = []
+        for sub in parts:
+            if sub.number_of_edges() > 0:
+                nxt.extend(fiedler_vector_cluster(sub))
+            else:
+                nxt.append(sub)
+        parts = nxt
+        it += 1
+    return {lab: list(sub.nodes()) for lab, sub in enumerate(parts)}
+
+
+def weighted_link_prediction(G: nx.Graph, clusters: Dict[int, List[int]],
+                             method: str, vector_pairs: int
+                             ) -> List[Tuple[int, int, float]]:
+    """Within each cluster, repeatedly take the (argmax, argmin) Fiedler
+    pair as a suspected 'wrong link' and score it with the chosen
+    link-prediction method (reference :253-289)."""
+    scorer = lp.METHODS[method]
+    out = []
+    for nodes in clusters.values():
+        sub = nx.Graph()
+        sub.add_nodes_from(nodes)
+        node_set = set(nodes)
+        for (i, j, d) in G.edges(data=True):
+            if i in node_set and j in node_set and "weight" in d:
+                sub.add_edge(i, j, weight=d["weight"])
+        if sub.number_of_edges() < 2:
+            continue
+        _, vec = compute_fiedler_vector(sub)
+        sub_nodes = list(sub.nodes())
+        vec = vec.copy()
+        for _ in range(vector_pairs):
+            if len(vec) < 2 or vec.min() >= 0:
+                break
+            locx = int(np.argmax(vec))
+            locy = int(np.argmin(vec))
+            start, end = sub_nodes[locx], sub_nodes[locy]
+            wrong = [tuple(sorted((start, end)))]
+            vec = np.delete(vec, [locx, locy])
+            del sub_nodes[max(locx, locy)]
+            del sub_nodes[min(locx, locy)]
+            for u, v, p in scorer(sub, wrong):
+                out.append((u, v, float(p)))
+    return out
+
+
+def layer_weight_items(params) -> List[Tuple[str, np.ndarray]]:
+    """Flatten a pytree of params into (path, 2-D weight) items, mirroring
+    the reference's state_dict filter ('layers'+'weight',
+    SpectralAnalysis.py:332-338)."""
+    import jax
+
+    items = []
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        arr = np.asarray(leaf)
+        if arr.ndim == 3 and arr.shape[0] == 1:
+            arr = arr[0]
+        if arr.ndim == 2 and "weight" in name.lower():
+            items.append((name, arr))
+    return items
+
+
+def weight_correction(params, num_classes: int,
+                      method: str = "resource_allocation_index",
+                      vector_pairs: int = 2,
+                      correction_coeff: float = 0.001,
+                      max_layer_nodes: int = 2000,
+                      max_layer_edges: int = 50_000):
+    """The reference's WeightCorrection (:312-430) over a param pytree:
+
+    1. first two 2-D weight matrices -> composed bipartite weight graph;
+    2. recursive Fiedler bipartition into ~num_classes clusters;
+    3. per-cluster wrong-link scoring via link prediction;
+    4. add correction_coeff * score to the corresponding weight entries.
+
+    Returns (new_params, corrections_applied).
+    """
+    import jax
+
+    items = layer_weight_items(params)
+    if not items:
+        return params, 0
+    graphs = []
+    start = 0
+    spans = []
+    for name, w in items:
+        # skip layers too wide for the dense spectral machinery (the
+        # reference ran on already-contracted nets); compose at most two
+        # layers like the reference (SpectralAnalysis.py:348)
+        if sum(w.shape) > max_layer_nodes or len(graphs) >= 2:
+            continue
+        Gw, _ = weights_to_adjacency(w, start, max_edges=max_layer_edges)
+        spans.append((name, start, w.shape))
+        graphs.append(Gw)
+        start += sum(w.shape)
+    if not graphs:
+        return params, 0
+    G = graphs[0]
+    for g2 in graphs[1:]:
+        G = nx.compose(G, g2)
+
+    clusters = recursive_fiedler_partition(G, num_classes)
+    pred = weighted_link_prediction(G, clusters, method, vector_pairs)
+    if not pred:
+        return params, 0
+
+    # apply corrections back into the pytree
+    deltas = {name: np.zeros(shape) for name, _, shape in spans}
+    applied = 0
+    for u, v, p in pred:
+        a, b = min(u, v), max(u, v)
+        for name, base, (M, N) in spans:
+            if base <= a < base + M and base + M <= b < base + M + N:
+                deltas[name][a - base, b - base - M] += \
+                    correction_coeff * p
+                applied += 1
+
+    def fix(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        if name in deltas:
+            d = deltas[name]
+            arr = np.asarray(leaf)
+            if arr.ndim == 3 and arr.shape[0] == 1:
+                return leaf + jnp.asarray(d, leaf.dtype)[None]
+            return leaf + jnp.asarray(d, leaf.dtype)
+        return leaf
+
+    new_params = jax.tree_util.tree_map_with_path(fix, params)
+    return new_params, applied
+
+
+def eigenvalue(A, v):
+    return v @ (A @ v)
+
+
+def power_iteration(A, num_iters: int = 100, tol: float = 0.01):
+    """Dominant eigenpair by power iteration (reference :437-452)."""
+    n, d = A.shape
+    v = np.ones(d) / np.sqrt(d)
+    ev = eigenvalue(A, v)
+    for _ in range(num_iters):
+        Av = A @ v
+        v_new = Av / np.linalg.norm(Av)
+        ev_new = eigenvalue(A, v_new)
+        if np.abs(ev - ev_new) < tol:
+            return ev_new, v_new
+        v, ev = v_new, ev_new
+    return ev, v

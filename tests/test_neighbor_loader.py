@@ -1,0 +1,50 @@
+"""Neighbor-sampled loader: sampled subgraph validity + static shapes."""
+
+import numpy as np
+
+from pytorch_geometric_tpu.data.neighbor_loader import NeighborSampler
+
+
+def test_neighbor_sampler_valid_subgraphs(rng):
+    n, e = 200, 1200
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    y = rng.integers(0, 5, n)
+    edge_set = set(zip(s.tolist(), r.tolist()))
+
+    loader = NeighborSampler(s, r, n, sizes=[4, 3], node_features=x,
+                             labels=y, batch_size=16, seed=0)
+    shapes = set()
+    for i, g in enumerate(loader):
+        shapes.add((g.num_nodes, g.num_edges))
+        nm = np.asarray(g.node_mask)
+        em = np.asarray(g.edge_mask)
+        l2g = np.asarray(g.extras["local_to_global"])
+        sm = np.asarray(g.extras["seed_mask"])
+        assert sm.sum() <= 16
+        # every sampled edge exists in the original graph
+        ls = np.asarray(g.senders)[em]
+        lr = np.asarray(g.receivers)[em]
+        for a, b in zip(l2g[ls], l2g[lr]):
+            assert (int(a), int(b)) in edge_set
+        # features/labels routed correctly
+        np.testing.assert_allclose(np.asarray(g.x)[nm],
+                                   x[l2g[nm]], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g.y)[nm], y[l2g[nm]])
+        # receivers sorted
+        assert (np.diff(np.asarray(g.receivers)) >= 0).all()
+        if i >= 3:
+            break
+    assert len(shapes) == 1  # static budget -> one compiled shape
+
+
+def test_neighbor_sampler_respects_k(rng):
+    # star graph: node 0 has 50 in-neighbors; sizes=[5] keeps <= 5
+    s = np.arange(1, 51)
+    r = np.zeros(50, dtype=np.int64)
+    loader = NeighborSampler(s, r, 51, sizes=[5], batch_size=1,
+                             seed_nodes=np.array([0]), shuffle=False)
+    g = next(iter(loader))
+    em = np.asarray(g.edge_mask)
+    assert em.sum() == 5

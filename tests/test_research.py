@@ -1,0 +1,200 @@
+"""Research layer: pruning, spectral correction, link prediction, ADMM,
+quantization, Fiedler SGD, checkpoints."""
+
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+import pytest
+
+from pytorch_geometric_tpu.research import (
+    admm_loss,
+    algebraic_connectivity,
+    apply_prune,
+    compute_fiedler_vector,
+    contraction_layer_coefficients,
+    direct_quantize,
+    dorefa_quantize,
+    fiedler_sgd,
+    fiedler_vector_cluster,
+    find_cutoff_point,
+    link_prediction,
+    power_iteration,
+    print_prune,
+    retain_network_size,
+    update_U,
+    update_Z,
+    update_Z_l1,
+    weight_correction,
+    weighted_link_prediction,
+    weights_to_adjacency,
+)
+from pytorch_geometric_tpu.research.admm import initialize_Z_and_U
+from pytorch_geometric_tpu.research.checkpoint import CheckpointManager
+from pytorch_geometric_tpu.research.quantization import admm_quantization
+
+
+def test_find_cutoff_point():
+    d = np.array([10.0, 9.0, 8.0, 1.0, 0.9])
+    # gap at index 2 -> cutoff 3 with coeff 2
+    assert find_cutoff_point(d, 2.0) == 3
+    # no gap -> full rank
+    assert find_cutoff_point(np.array([3.0, 2.9, 2.8]), 10.0) == 3
+
+
+def test_contraction_coefficients_monotone():
+    w = contraction_layer_coefficients(100, 4, 0.5, seed=0)
+    assert len(w) == 4
+    assert all(w[i + 1] <= w[i] for i in range(3))
+    assert all(x >= 1 for x in w)
+
+
+def test_retain_network_size_low_rank():
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(30, 3))
+    v = rng.normal(size=(3, 20))
+    params = {"params": {"layer": {"weight": jnp.asarray(u @ v)}}}
+    widths = retain_network_size(params, con_coeff=2.0)
+    assert widths == [3]  # rank-3 matrix detected
+
+
+def test_link_prediction_scorers():
+    G = nx.Graph([(0, 1), (1, 2), (0, 2), (2, 3)])
+    ra = dict(((u, v), p) for u, v, p in
+              link_prediction.resource_allocation_index(G, [(0, 3)]))
+    # cn(0,3) = {2}, deg(2)=3 -> 1/3
+    np.testing.assert_allclose(ra[(0, 3)], 1 / 3)
+    jc = list(link_prediction.jaccard_coefficient(G, [(0, 3)]))[0][2]
+    # N(0)={1,2}, N(3)={2}: cn={2}, union={1,2} -> 1/2
+    np.testing.assert_allclose(jc, 1 / 2)
+    aa = list(link_prediction.adamic_adar_index(G, [(0, 3)]))[0][2]
+    np.testing.assert_allclose(aa, 1 / np.log(3))
+    pa = list(link_prediction.preferential_attachment(G, [(0, 3)]))[0][2]
+    assert pa == 2 * 1
+    # community variants
+    nx.set_node_attributes(G, {0: 0, 1: 0, 2: 0, 3: 1}, "community")
+    cn = list(link_prediction.cn_soundarajan_hopcroft(G, [(0, 1)]))[0][2]
+    assert cn == 2  # |cn|=1 + 1 same-community bonus
+    wic = list(link_prediction.within_inter_cluster(G, [(0, 1)]))[0][2]
+    assert wic == 1 / 0.001
+
+
+def test_fiedler_vector_two_cliques():
+    # two triangles joined by one weak edge: Fiedler vector separates them
+    G = nx.Graph()
+    for a, b in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]:
+        G.add_edge(a, b, weight=1.0)
+    G.add_edge(2, 3, weight=0.01)
+    lam2, vec = compute_fiedler_vector(G)
+    assert lam2 > 0
+    signs = np.sign(vec)
+    assert abs(signs[:3].sum()) == 3 and abs(signs[3:].sum()) == 3
+    assert signs[0] != signs[3]
+    parts = fiedler_vector_cluster(G)
+    sets = [set(p.nodes()) for p in parts]
+    assert {0, 1, 2} in sets and {3, 4, 5} in sets
+
+
+def test_weight_correction_applies():
+    rng = np.random.default_rng(0)
+    params = {"params": {
+        "layers_0": {"weight": jnp.asarray(
+            rng.normal(size=(6, 8)).astype(np.float32))},
+        "layers_1": {"weight": jnp.asarray(
+            rng.normal(size=(8, 4)).astype(np.float32))},
+    }}
+    new_params, applied = weight_correction(params, num_classes=4,
+                                            correction_coeff=0.01)
+    if applied:
+        diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(new_params)))
+        assert diff > 0
+    # shape preserved either way
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(new_params)):
+        assert a.shape == b.shape
+
+
+def test_admm_cycle():
+    rng = np.random.default_rng(0)
+    params = {"dense": {"weight": jnp.asarray(
+        rng.normal(size=(10, 10)).astype(np.float32))},
+        "bias": jnp.zeros((10,))}
+    Z, U = initialize_Z_and_U(params)
+    loss = admm_loss(1.0, params, Z, U, rho=0.01)
+    assert float(loss) >= 1.0
+    Z2 = update_Z(Z, U, percent=0.5)
+    w = np.asarray(Z2["dense"]["weight"])
+    assert (w == 0).mean() >= 0.45  # ~50% zeroed
+    Z3 = update_Z_l1(Z, U, alpha=1.0, rho=10.0)  # delta=0.1 soft thresh
+    w3 = np.asarray(Z3["dense"]["weight"])
+    orig = np.asarray(params["dense"]["weight"])
+    np.testing.assert_allclose(
+        w3[np.abs(orig) > 0.1],
+        orig[np.abs(orig) > 0.1] - 0.1 * np.sign(
+            orig[np.abs(orig) > 0.1]), rtol=1e-5)
+    U2 = update_U(U, Z, Z2)
+    assert U2["dense"]["weight"].shape == (10, 10)
+    pruned, masks = apply_prune(params, percent=0.3)
+    frac = print_prune(pruned)
+    assert 0.25 < frac < 0.4
+
+
+def test_quantization():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32))
+    q = direct_quantize(w, kbits=3)
+    alpha = float(jnp.mean(jnp.abs(w)))
+    vals = np.unique(np.asarray(q).round(6))
+    assert set(vals.tolist()) <= {-alpha, 0.0, alpha} or len(vals) <= 3
+    d = dorefa_quantize(jnp.asarray([0.124, 0.5]), kbits=2)
+    # n = 3 levels: round(0.372)=0, round(1.5)=2 (ties-to-even)
+    np.testing.assert_allclose(np.asarray(d), [0.0, 2 / 3], atol=1e-6)
+    aq, a = admm_quantization(w, kbits=5, iters=10)
+    levels = np.unique(np.abs(np.asarray(aq)).round(5))
+    assert len(levels) <= 3  # {0, a, 2a}
+    # admm projection should be at least as close as naive direct
+    assert float(jnp.linalg.norm(aq - w)) <= \
+        float(jnp.linalg.norm(direct_quantize(w, 5) - w)) + 1e-3
+
+
+def test_algebraic_connectivity_and_power_iteration():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(np.abs(rng.normal(size=(5, 7))).astype(np.float32))
+    lam2, vec = algebraic_connectivity(w)
+    assert float(lam2) > 0
+    A = np.abs(rng.normal(size=(6, 6)))
+    A = A + A.T
+    ev, v = power_iteration(A, num_iters=500, tol=1e-10)
+    true = np.max(np.abs(np.linalg.eigvalsh(A)))
+    np.testing.assert_allclose(abs(ev), true, rtol=0.05)
+
+
+def test_fiedler_sgd_steps():
+    import optax
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(6, 6)).astype(np.float32))}
+    tx = fiedler_sgd(0.1, fiedler_coeff=1e-3)
+    opt = tx.init(params)
+    grads = {"w": jnp.ones((6, 6))}
+    updates, opt = tx.update(grads, opt, params)
+    new = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(new["w"])).all()
+    assert not np.allclose(np.asarray(new["w"]),
+                           np.asarray(params["w"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cm = CheckpointManager(str(tmp_path))
+    params = {"w": jnp.ones((3, 3))}
+    opt = {"m": jnp.zeros((3, 3))}
+    assert cm.save_best("run", 0.5, params, opt, [1.0], [0.4], epoch=10)
+    assert not cm.save_best("run", 0.4, params, opt)  # not better
+    restored = cm.resume("run")
+    assert restored is not None
+    p, o, tc, vc, metric, epoch = restored
+    np.testing.assert_array_equal(np.asarray(p["w"]), 1.0)
+    assert metric == 0.5 and epoch == 10

@@ -1,0 +1,94 @@
+"""Spectral clustering suite: ncut math, isolated-cc removal,
+shuffle-significance pipeline."""
+
+import numpy as np
+
+from pytorch_geometric_tpu.research.spectral_cluster import (
+    compute_pvalue,
+    delete_isolated_ccs,
+    ncut,
+    run_clustering,
+    shuffle_weights,
+    shuffle_weights_nonzero,
+    weights_to_graph,
+    weights_to_layer_widths,
+)
+
+
+def block_diag_weights(rng, blocks=2, size=6, layers=2, noise=0.0):
+    """MLP whose weight matrices are block-diagonal -> perfectly
+    clusterable into `blocks` modules."""
+    ws = []
+    for _ in range(layers):
+        w = np.zeros((blocks * size, blocks * size))
+        for b in range(blocks):
+            sl = slice(b * size, (b + 1) * size)
+            w[sl, sl] = rng.random((size, size)) + 0.5
+        if noise:
+            w += noise * rng.random(w.shape)
+        ws.append(w)
+    return ws
+
+
+def test_widths_and_graph(rng):
+    ws = [rng.random((4, 5)), rng.random((5, 3))]
+    assert weights_to_layer_widths(ws) == [4, 5, 3]
+    adj = weights_to_graph(ws)
+    assert adj.shape == (12, 12)
+    # symmetry
+    assert (abs(adj - adj.T)).nnz == 0
+    # edge weight = |w|
+    np.testing.assert_allclose(adj[0, 4], abs(ws[0][0, 0]))
+
+
+def test_ncut_block_structure(rng):
+    ws = block_diag_weights(rng)
+    n = sum(weights_to_layer_widths(ws))
+    # perfect labels: block id of each neuron
+    widths = weights_to_layer_widths(ws)
+    labels = np.concatenate([
+        np.repeat([0, 1], w // 2) for w in widths])
+    perfect = ncut(ws, 2, labels)
+    assert perfect < 1e-6  # no cut edges
+    # random labels cut a lot
+    bad = ncut(ws, 2, rng.integers(0, 2, n))
+    assert bad > perfect + 0.1
+
+
+def test_delete_isolated_ccs():
+    # second block only exists in middle layer -> isolated from in/out
+    w1 = np.zeros((2, 4))
+    w1[:2, :2] = 1.0
+    w2 = np.zeros((4, 2))
+    w2[:2, :2] = 1.0
+    w2[2:, :] = 0.0
+    new_w, adj = delete_isolated_ccs([w1, w2], weights_to_graph([w1, w2]))
+    assert new_w[0].shape == (2, 2)
+    assert new_w[1].shape == (2, 2)
+
+
+def test_shuffles_preserve_multiset(rng):
+    w = rng.random((5, 5))
+    w[rng.random((5, 5)) < 0.5] = 0.0
+    s1 = shuffle_weights(w, rng)
+    np.testing.assert_allclose(np.sort(s1.reshape(-1)),
+                               np.sort(w.reshape(-1)))
+    s2 = shuffle_weights_nonzero(w, rng)
+    np.testing.assert_array_equal(s2 == 0, w == 0)
+    np.testing.assert_allclose(np.sort(s2[s2 != 0]),
+                               np.sort(w[w != 0]))
+
+
+def test_run_clustering_significance(rng):
+    ws = block_diag_weights(rng, blocks=2, size=8, layers=2)
+    res = run_clustering(ws, num_clusters=2, num_shuffle_samples=8,
+                         delete_isolated=False, seed=0)
+    assert res["ncut"] < 0.05          # modular net: tiny ncut
+    assert res["null_mean"] > res["ncut"]  # shuffles destroy structure
+    assert res["pvalue"] <= 0.2
+
+
+def test_compute_pvalue():
+    null = np.array([1.0, 2.0, 3.0, 4.0])
+    assert compute_pvalue(0.5, null) == 1 / 5
+    assert compute_pvalue(5.0, null) == 1.0
