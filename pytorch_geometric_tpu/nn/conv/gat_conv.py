@@ -50,19 +50,17 @@ class GATConv(nn.Module):
         alpha_dst = jnp.sum(h * att_dst, axis=-1)
 
         senders, receivers = graph.senders, graph.receivers
-        edge_mask = graph.real_edge_mask()
         if self.add_self_loops:
             loop = jnp.arange(N, dtype=senders.dtype)
             senders = jnp.concatenate([senders, loop])
             receivers = jnp.concatenate([receivers, loop])
-            # self loops of padding nodes only touch padding rows
-            edge_mask = jnp.concatenate(
-                [edge_mask, jnp.ones((N,), dtype=bool)])
 
         logits = (jnp.take(alpha_src, senders, axis=0)
                   + jnp.take(alpha_dst, receivers, axis=0))   # (E', H)
         logits = jax.nn.leaky_relu(logits, self.negative_slope)
-        alpha = segment_softmax(logits, receivers, N, mask=edge_mask)
+        # No edge mask needed: padding edges point at the padding node,
+        # so they normalise within the padding segment only.
+        alpha = segment_softmax(logits, receivers, N)
         if self.dropout > 0 and train:
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 1.0 - self.dropout,

@@ -12,6 +12,7 @@ segment ops or a bound Pallas SpMM operator.
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from pytorch_geometric_tpu.data.graph import Graph
@@ -51,6 +52,28 @@ def propagate(
     if aggr not in AGGRS:
         raise ValueError(f"aggr must be one of {AGGRS}, got {aggr!r}")
     num_nodes = graph.num_nodes
+
+    # Debug-mode input validation (reference: gmm_conv.py:106-129 gated
+    # by torch_geometric.is_debug_enabled()).  Host-side only — concrete
+    # arrays, never traced values.
+    from pytorch_geometric_tpu.debug import is_debug_enabled
+    if is_debug_enabled() and not isinstance(
+            graph.senders, jax.core.Tracer):
+        import numpy as np
+        s = np.asarray(graph.senders)
+        r = np.asarray(graph.receivers)
+        if s.shape != r.shape:
+            raise ValueError("senders/receivers shape mismatch: "
+                             f"{s.shape} vs {r.shape}")
+        if s.size and (s.min() < 0 or s.max() >= num_nodes or
+                       r.min() < 0 or r.max() >= num_nodes):
+            raise ValueError(
+                f"edge indices out of range [0, {num_nodes})")
+        if x is not None and not isinstance(x, jax.core.Tracer) and \
+                np.asarray(x).shape[0] != num_nodes:
+            raise ValueError(
+                f"x has {np.asarray(x).shape[0]} rows, expected "
+                f"{num_nodes}")
 
     # Fast path: plain weighted gather-sum == SpMM.
     if message_fn is None and spmm_op is not None and aggr in ("add", "sum"):

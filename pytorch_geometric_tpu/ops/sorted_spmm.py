@@ -1,0 +1,234 @@
+"""Sorted-CSR segment-sum SpMM — the high-throughput TPU path.
+
+Profiling shows XLA's per-edge gather (``jnp.take``) runs near memory
+bandwidth on TPU while its scatter-add (``segment_sum``) is the
+bottleneck.  This kernel replaces only the scatter side:
+
+- host packing (:func:`pack_sorted`): edges sorted by receiver are cut
+  into ``tile``-edge chunks that never cross an ``rows``-aligned output
+  block boundary (chunks are split and padded at boundaries), giving
+  each tile exactly one output block and consecutive revisits;
+- device: XLA gathers source rows *in packed order* (one take, no extra
+  permutation pass), multiplies edge weights, and the Pallas kernel
+  scatter-accumulates each tile into its output block with a single
+  (rows x tile) one-hot matmul on the MXU — ~rows MACs/edge instead of
+  a serialized scatter.
+
+Backward: dx = transposed-pack SpMM of the cotangent (same kernel),
+dw = per-edge dot of gathered rows (XLA).
+"""
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class SortedPack:
+    tile: int
+    rows: int
+    num_nodes: int
+    num_edges: int
+    num_row_blocks: int
+    senders_packed: np.ndarray = field(repr=False)   # (T*tile,) int32
+    perm: np.ndarray = field(repr=False)             # packed slot -> edge id (E = pad)
+    local_dst: np.ndarray = field(repr=False)        # (T8, tile) int32
+    tile_block: np.ndarray = field(repr=False)       # (T,) int32
+    tile_first: np.ndarray = field(repr=False)       # (T,) int32
+
+    @property
+    def num_tiles(self):
+        return int(self.tile_block.shape[0])
+
+
+def pack_sorted(senders, receivers, num_nodes, *, tile=256, rows=256):
+    """Pack receiver-sorted edges into boundary-aligned tiles."""
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    order = np.argsort(receivers, kind="stable")
+    s = senders[order]
+    r = receivers[order]
+    E = s.shape[0]
+    n_blocks = max(_round_up(num_nodes, rows) // rows, 1)
+
+    block_of = r // rows
+    # boundaries where the output block changes
+    cuts = np.flatnonzero(np.diff(block_of)) + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [E]])
+
+    perm_chunks, ldst_chunks, t_block, t_first = [], [], [], []
+    for st, en in zip(starts, ends):
+        cnt = en - st
+        padded = _round_up(cnt, tile)
+        idx = np.full(padded, E, dtype=np.int32)
+        idx[:cnt] = order[st:en]
+        ld = np.zeros(padded, dtype=np.int32)
+        ld[:cnt] = (r[st:en] % rows).astype(np.int32)
+        b = int(block_of[st])
+        n_t = padded // tile
+        for k in range(n_t):
+            t_block.append(b)
+            t_first.append(1 if k == 0 else 0)
+        perm_chunks.append(idx)
+        ldst_chunks.append(ld)
+
+    if not perm_chunks:
+        perm_chunks = [np.full(tile, E, np.int32)]
+        ldst_chunks = [np.zeros(tile, np.int32)]
+        t_block, t_first = [0], [1]
+
+    # blocks never visited must still be zero-initialised
+    seen = set(t_block)
+    for b in range(n_blocks):
+        if b not in seen:
+            t_block.append(b)
+            t_first.append(1)
+            perm_chunks.append(np.full(tile, E, np.int32))
+            ldst_chunks.append(np.zeros(tile, np.int32))
+
+    perm = np.concatenate(perm_chunks)
+    T = perm.shape[0] // tile
+    T8 = _round_up(T, 8)
+    local_dst = np.concatenate(ldst_chunks).reshape(T, tile)
+    if T8 != T:
+        local_dst = np.concatenate(
+            [local_dst, np.zeros((T8 - T, tile), np.int32)])
+    # perm holds original edge ids; padding slots point at the appended
+    # dummy sender 0 (their weight is forced to 0)
+    s_ext = np.concatenate([senders, [0]])
+    senders_packed = s_ext[np.minimum(perm, E)].astype(np.int32)
+
+    return SortedPack(
+        tile=tile, rows=rows, num_nodes=int(num_nodes), num_edges=E,
+        num_row_blocks=n_blocks, senders_packed=senders_packed,
+        perm=perm,
+        local_dst=local_dst,
+        tile_block=np.asarray(t_block, np.int32),
+        tile_first=np.asarray(t_first, np.int32))
+
+
+def _scatter_kernel(rows, tile, block_ref, first_ref,
+                    msgs_ref, ldst_ref, out_ref):
+    t = pl.program_id(1)
+    ld = ldst_ref[t % 8, :]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 0)
+    scat = (rr == ld[None, :]).astype(jnp.float32)
+    contrib = jax.lax.dot(scat, msgs_ref[...],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(first_ref[t] == 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+def _scatter_tiles(msgs_packed, local_dst, tile_block, tile_first, *,
+                   rows, tile, n_blocks, f_tile):
+    T = tile_block.shape[0]
+    fp = msgs_packed.shape[1]
+    n_ft = fp // f_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_ft, T),
+        in_specs=[
+            pl.BlockSpec((tile, f_tile), lambda j, t, blk, first: (t, j)),
+            pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, f_tile), lambda j, t, blk, first: (blk[t], j)),
+    )
+    kernel = functools.partial(_scatter_kernel, rows, tile)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * rows, fp),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * tile * rows * fp,
+            bytes_accessed=T * tile * (fp * 4 + 4) + n_blocks * rows * fp
+            * 4,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(tile_block, tile_first, msgs_packed, local_dst)
+
+
+class SortedSpmm:
+    """out[r] = sum_{e: recv[e]=r} w[e] x[send[e]] over a fixed edge
+    structure, differentiable in (weights, x)."""
+
+    def __init__(self, senders, receivers, num_nodes, *, tile=256,
+                 rows=256, f_tile=128):
+        if tile % 128 or rows % 8:
+            raise ValueError("tile % 128 == 0 and rows % 8 == 0 required")
+        self.f_tile = f_tile
+        self.num_nodes = int(num_nodes)
+        self.fwd = pack_sorted(senders, receivers, num_nodes, tile=tile,
+                               rows=rows)
+        self.bwd = pack_sorted(receivers, senders, num_nodes, tile=tile,
+                               rows=rows)
+        self.senders = jnp.asarray(np.asarray(senders), jnp.int32)
+        self.receivers = jnp.asarray(np.asarray(receivers), jnp.int32)
+        self._dev = {}
+        for name, pk in (("fwd", self.fwd), ("bwd", self.bwd)):
+            self._dev[name] = dict(
+                senders_packed=jnp.asarray(pk.senders_packed),
+                perm=jnp.asarray(pk.perm),
+                local_dst=jnp.asarray(pk.local_dst),
+                tile_block=jnp.asarray(pk.tile_block),
+                tile_first=jnp.asarray(pk.tile_first),
+            )
+
+    def _run(self, which, weights, x):
+        pk = self.fwd if which == "fwd" else self.bwd
+        dv = self._dev[which]
+        N, F = self.num_nodes, x.shape[1]
+        fp = _round_up(F, self.f_tile)
+        if fp != F:
+            x = jnp.pad(x, ((0, 0), (0, fp - F)))
+        w_ext = jnp.concatenate(
+            [weights.astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
+        w_packed = jnp.take(w_ext, jnp.minimum(dv["perm"], pk.num_edges))
+        w_packed = jnp.where(dv["perm"] == pk.num_edges, 0.0, w_packed)
+        msgs = jnp.take(x, dv["senders_packed"], axis=0) \
+            * w_packed[:, None]
+        out = _scatter_tiles(
+            msgs.astype(jnp.float32), dv["local_dst"], dv["tile_block"],
+            dv["tile_first"], rows=pk.rows, tile=pk.tile,
+            n_blocks=pk.num_row_blocks, f_tile=self.f_tile)
+        return out[:N, :F]
+
+    def __call__(self, weights, x):
+        return _sorted_apply(self, weights, x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sorted_apply(op, weights, x):
+    return op._run("fwd", weights, x)
+
+
+def _sorted_fwd(op, weights, x):
+    return op._run("fwd", weights, x), (weights, x)
+
+
+def _sorted_bwd(op, res, g):
+    weights, x = res
+    dx = op._run("bwd", weights, g.astype(jnp.float32)).astype(x.dtype)
+    dw = jnp.sum(jnp.take(g, op.receivers, axis=0)
+                 * jnp.take(x, op.senders, axis=0), axis=-1)
+    return dw.astype(weights.dtype), dx
+
+
+_sorted_apply.defvjp(_sorted_fwd, _sorted_bwd)
