@@ -111,13 +111,17 @@ class PrunableTopK(nn.Module):
         x = graph.x
         g = graph
         summaries = []
+        common = 2 * self.widths[-1]
         for i, w in enumerate(self.widths):
             x = nn.relu(GraphConv(w, name=f"layers_{i}")(g, x))
             g = g.replace(x=x)
             g, x, _ = TopKPooling(w, ratio=self.ratio,
                                   name=f"pool_{i}")(g, x)
-            summaries.append(jnp.concatenate(
-                [global_max_pool(x, g), global_mean_pool(x, g)], axis=1))
+            s = jnp.concatenate(
+                [global_max_pool(x, g), global_mean_pool(x, g)], axis=1)
+            # per-level widths differ after pruning; project readouts to
+            # a common dim before the residual sum
+            summaries.append(nn.Dense(common, name=f"proj_{i}")(s))
         h = sum(summaries)
         h = nn.relu(nn.Dense(self.widths[-1], name="lin1")(h))
         h = nn.Dropout(0.5, deterministic=not train)(h)

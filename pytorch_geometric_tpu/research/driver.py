@@ -45,6 +45,9 @@ from pytorch_geometric_tpu.research.spectral import weight_correction
 from pytorch_geometric_tpu.transforms import NormalizeFeatures
 
 
+GRAPH_CLS_DATASETS = ("enzymes", "mutag", "proteins", "dd", "collab")
+
+
 def load_citation_dataset(name: str, root: str = "datasets_cache"):
     """Dataset dispatch (reference :458-517 subset: citation-style)."""
     name_l = name.lower()
@@ -150,6 +153,127 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
     return TrainPartResult(params, opt_state, train_conv, test_conv, best)
 
 
+def train_part_graphcls(model, train_loader, test_loader, params,
+                        epochs: int, lr: float = 5e-4, seed: int = 0,
+                        ckpt: Optional[CheckpointManager] = None,
+                        run_key: str = "run") -> TrainPartResult:
+    """Graph-classification phase (the reference's TopKNet / batch-size
+    sweep pipeline, ConvexPruningBatchSize.py): per-batch jitted steps
+    over the bucketed loader."""
+    import jax.numpy as jnp
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def step(params, opt_state, graph, key):
+        def loss_fn(p):
+            logits = model.apply(p, graph, train=True,
+                                 rngs={"dropout": key})
+            logp = jax.nn.log_softmax(logits)
+            y = graph.y.astype(jnp.int32)
+            nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            m = graph.graph_mask.astype(jnp.float32)
+            return jnp.sum(nll * m) / jnp.maximum(m.sum(), 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_batch(params, graph):
+        logits = model.apply(params, graph)
+        pred = jnp.argmax(logits, axis=1)
+        m = graph.graph_mask
+        return jnp.sum((pred == graph.y.astype(jnp.int32)) & m), \
+            jnp.sum(m)
+
+    train_conv, test_conv = [], []
+    best = 0.0
+    for epoch in range(epochs):
+        losses = []
+        for graph in train_loader:
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, graph, sub)
+            losses.append(float(loss))
+        train_conv.append(float(np.mean(losses)))
+        cor = tot = 0
+        for graph in test_loader:
+            c, t = eval_batch(params, graph)
+            cor, tot = cor + int(c), tot + int(t)
+        acc = cor / max(tot, 1)
+        test_conv.append(acc)
+        best = max(best, acc)
+        if ckpt is not None:
+            ckpt.save_best(run_key, acc, params, opt_state, train_conv,
+                           test_conv, epoch=epoch)
+    return TrainPartResult(params, opt_state, train_conv, test_conv,
+                           best)
+
+
+def training_net_graphcls(dataset: str, model_name: str = "TopK",
+                          num_layers: int = 3, con_coeff: float = 0.6,
+                          alpha: float = 0.5, epochs: int = 20,
+                          fine_tune_epochs: int = 20,
+                          batch_size: int = 64, lr: float = 5e-4,
+                          monte_size: int = 1, seed: int = 0,
+                          results_dir: str = "Results",
+                          ckpt_dir: str = "checkpoint"):
+    """Graph-classification pipeline (reference TUDataset dispatch at
+    ConvexPruning.py:487 + the Batch_size sweep variant)."""
+    from pytorch_geometric_tpu.data import DataLoader
+    from pytorch_geometric_tpu.datasets import TUDataset
+
+    ds = TUDataset("datasets_cache", dataset.upper())
+    num_classes = ds.num_classes
+    ckpt = CheckpointManager(ckpt_dir)
+    out_dir = osp.join(results_dir, f"{dataset.upper()}Convergence")
+    os.makedirs(out_dir, exist_ok=True)
+    results = []
+    for monte in range(monte_size):
+        sh = ds.shuffle(seed=seed + monte)
+        n = len(sh)
+        test_ds, train_ds = sh[: n // 10], sh[n // 10:]
+        train_loader = DataLoader(train_ds, batch_size=batch_size,
+                                  shuffle=True, seed=seed + monte)
+        test_loader = DataLoader(test_ds, batch_size=batch_size)
+        widths = contraction_layer_coefficients(
+            128, num_layers, alpha, seed=seed + monte)
+        model = choose_model(model_name, widths, num_classes)
+        g0 = next(iter(train_loader))
+        key = jax.random.PRNGKey(seed + monte)
+        params = model.init({"params": key, "dropout": key}, g0)
+        run_key = (f"{dataset}-{model_name}{num_layers}-"
+                   f"{'_'.join(map(str, widths))}-b{batch_size}-{monte}")
+        phase1 = train_part_graphcls(model, train_loader, test_loader,
+                                     params, epochs, lr=lr, seed=seed,
+                                     ckpt=ckpt, run_key=run_key + "-p1")
+        new_widths = [max(int(w), 2) for w in
+                      retain_network_size(phase1.params, con_coeff)
+                      [:num_layers]] or widths
+        pruned = choose_model(model_name, new_widths, num_classes)
+        key2 = jax.random.PRNGKey(seed + monte + 1)
+        p2 = pruned.init({"params": key2, "dropout": key2}, g0)
+        phase2 = train_part_graphcls(pruned, train_loader, test_loader,
+                                     p2, fine_tune_epochs, lr=lr,
+                                     seed=seed + 1, ckpt=ckpt,
+                                     run_key=run_key + "-p2")
+        tag = f"param_{'_'.join(map(str, widths))}_{con_coeff}_b{batch_size}"
+        np.save(osp.join(out_dir, f"TrainConvergence-{dataset.upper()}-"
+                                  f"{model_name}{num_layers}-{tag}-"
+                                  f"monte_{monte}.npy"),
+                np.asarray(phase2.train_convergence))
+        np.save(osp.join(out_dir, f"TestConvergence-{dataset.upper()}-"
+                                  f"{model_name}{num_layers}-{tag}-"
+                                  f"monte_{monte}.npy"),
+                np.asarray(phase2.test_convergence))
+        results.append({"monte": monte, "widths": widths,
+                        "new_widths": new_widths,
+                        "pretrain_best": phase1.best_acc,
+                        "finetune_best": phase2.best_acc})
+    return results
+
+
 def training_net(dataset: str = "Cora", model_name: str = "GCN",
                  num_layers: int = 2, con_coeff: float = 0.6,
                  alpha: float = 0.5, epochs: int = 100,
@@ -248,10 +372,24 @@ def main(argv=None):
     p.add_argument("--LinkPredictionMethod",
                    default="resource_allocation_index")
     p.add_argument("--MonteSize", type=int, default=1)
+    p.add_argument("--Batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", "-r", action="store_true")
     p.add_argument("--savepath", default="Results")
     args = p.parse_args(argv)
+    if args.dataset.lower() in GRAPH_CLS_DATASETS:
+        res = training_net_graphcls(
+            dataset=args.dataset,
+            model_name=args.modelName if args.modelName != "GCN"
+            else "TopK",
+            num_layers=args.num_layers, con_coeff=args.ConCoeff,
+            alpha=args.alpha, epochs=args.epochs,
+            fine_tune_epochs=args.fine_tune_epochs,
+            batch_size=args.Batch_size, monte_size=args.MonteSize,
+            seed=args.seed, results_dir=args.savepath)
+        for r in res:
+            print(r)
+        return
     res = training_net(
         dataset=args.dataset, model_name=args.modelName,
         num_layers=args.num_layers, con_coeff=args.ConCoeff,
