@@ -31,14 +31,17 @@ class GCN(nn.Module):
     dropout_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, graph: Graph, x, norm=None, *, train: bool = False):
-        if norm is None:
+    def __call__(self, graph: Graph, x, norm=None, *, train: bool = False,
+                 norm_dense=None):
+        if norm is None and norm_dense is None:
             norm = gcn_norm(graph)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = GCNConv(self.hidden_channels, name="conv1")(graph, x, norm=norm)
+        x = GCNConv(self.hidden_channels, name="conv1")(
+            graph, x, norm=norm, norm_dense=norm_dense)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = GCNConv(self.num_classes, name="conv2")(graph, x, norm=norm)
+        x = GCNConv(self.num_classes, name="conv2")(
+            graph, x, norm=norm, norm_dense=norm_dense)
         return x  # logits; log_softmax applied in the loss
 
 
@@ -56,22 +59,31 @@ def masked_accuracy(logits, labels, mask):
 
 
 def create_gcn_train_step(model: GCN, graph: Graph, weight_decay=5e-4,
-                          lr=0.01):
+                          lr=0.01, dense: bool = False,
+                          dense_dtype=jnp.bfloat16):
     """Build (init_fn, epoch_step, eval_fn) closures over a static graph.
 
     ``epoch_step`` is scan-compatible: carry = (params, opt_state, key).
     Weight decay applies to the first layer only, matching the reference's
-    per-group Adam config (examples/gcn.py:31-34).
+    per-group Adam config (examples/gcn.py:31-34).  ``dense=True`` uses
+    the precomputed dense normalised adjacency (bf16 MXU matmuls) — the
+    fast path for small padded graphs.
     """
-    norm = gcn_norm(graph)
+    from pytorch_geometric_tpu.nn.conv.gcn_conv import gcn_norm_dense
+
+    norm = None if dense else gcn_norm(graph)
+    norm_dense = gcn_norm_dense(graph, dtype=dense_dtype) if dense \
+        else None
     tx = optax.adam(lr)
 
     def init_fn(key):
-        params = model.init({"params": key}, graph, graph.x, norm)
+        params = model.init({"params": key}, graph, graph.x, norm,
+                            norm_dense=norm_dense)
         return params, tx.init(params)
 
     def loss_fn(params, key):
         logits = model.apply(params, graph, graph.x, norm, train=True,
+                             norm_dense=norm_dense,
                              rngs={"dropout": key})
         loss = masked_softmax_xent(logits, graph.y, graph.train_mask)
         wd = sum(jnp.sum(p ** 2) for p in
@@ -92,7 +104,8 @@ def create_gcn_train_step(model: GCN, graph: Graph, weight_decay=5e-4,
         return (params, opt_state, key), metrics
 
     def eval_fn(params):
-        logits = model.apply(params, graph, graph.x, norm, train=False)
+        logits = model.apply(params, graph, graph.x, norm, train=False,
+                             norm_dense=norm_dense)
         return {
             "train_acc": masked_accuracy(logits, graph.y, graph.train_mask),
             "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),

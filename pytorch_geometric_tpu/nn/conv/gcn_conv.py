@@ -37,6 +37,22 @@ class EdgeNorm:
     weights: jnp.ndarray
 
 
+def gcn_norm_dense(graph: Graph, edge_weight=None, improved: bool = False,
+                   dtype=jnp.float32):
+    """Dense normalised adjacency (N, N) for small padded graphs.
+
+    TPU rationale: below ~4k padded nodes the sparse path is dominated
+    by per-kernel overheads (gather + scatter kernels per layer), while
+    one dense matmul keeps the whole aggregation on the MXU.  Memory is
+    N^2 * dtype — callers opt in via ``GCNConv(..., norm_dense=...)``.
+    """
+    norm = gcn_norm(graph, edge_weight, improved, jnp.float32)
+    n = graph.num_nodes
+    adj = jnp.zeros((n, n), jnp.float32)
+    adj = adj.at[norm.receivers, norm.senders].add(norm.weights)
+    return adj.astype(dtype)
+
+
 def gcn_norm(graph: Graph, edge_weight=None, improved: bool = False,
              dtype=jnp.float32) -> EdgeNorm:
     """Symmetric normalisation with self loops: the first-call computation
@@ -60,15 +76,23 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, x, edge_weight=None,
-                 norm: Optional[EdgeNorm] = None, spmm_op=None):
+                 norm: Optional[EdgeNorm] = None, spmm_op=None,
+                 norm_dense=None):
         weight = self.param("weight", glorot, (x.shape[-1],
                                                self.out_channels))
         h = jnp.dot(x, weight, preferred_element_type=jnp.float32)
-        if norm is None:
-            norm = gcn_norm(graph, edge_weight, self.improved, h.dtype)
-        if spmm_op is not None:
+        if norm_dense is not None:
+            out = jnp.dot(norm_dense, h.astype(norm_dense.dtype),
+                          preferred_element_type=jnp.float32)
+        elif spmm_op is not None:
+            if norm is None:
+                norm = gcn_norm(graph, edge_weight, self.improved,
+                                h.dtype)
             out = spmm_op(norm.weights, h)
         else:
+            if norm is None:
+                norm = gcn_norm(graph, edge_weight, self.improved,
+                                h.dtype)
             out = spmm(norm.senders, norm.receivers, h, graph.num_nodes,
                        weights=norm.weights)
         if self.use_bias:

@@ -17,9 +17,14 @@ from pytorch_geometric_tpu.utils.undirected import (  # noqa: F401
     is_undirected,
 )
 from pytorch_geometric_tpu.utils.repeat import repeat  # noqa: F401
+from pytorch_geometric_tpu.utils.networkx_convert import (  # noqa: F401
+    to_networkx,
+    from_networkx,
+)
 
 __all__ = [
     "degree", "add_self_loops", "remove_self_loops", "contains_self_loops",
     "normalized_cut", "softmax", "to_dense_adj", "to_dense_batch",
-    "to_undirected", "is_undirected", "repeat",
+    "to_undirected", "is_undirected", "repeat", "to_networkx",
+    "from_networkx",
 ]

@@ -66,3 +66,21 @@ def test_sorted_spmm_grads(rng):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_sorted_segment_sum(rng):
+    from pytorch_geometric_tpu.ops.sorted_spmm import SortedSegmentSum
+
+    n, e, f = 90, 400, 20
+    r = rng.integers(0, n, e)
+    msgs = rng.normal(size=(e, f)).astype(np.float32)
+    op = SortedSegmentSum(r, n, tile=128, rows=128)
+    got = np.asarray(op(jnp.asarray(msgs)))
+    want = np.zeros((n, f))
+    np.add.at(want, r, msgs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # grad = gather at receivers
+    g = jax.grad(lambda m: jnp.sum(op(m) ** 3))(jnp.asarray(msgs))
+    want_g = 3 * (want[r] ** 2)
+    np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-3,
+                               atol=1e-3)
