@@ -60,15 +60,33 @@ class GATConv(nn.Module):
         logits = jax.nn.leaky_relu(logits, self.negative_slope)
         # No edge mask needed: padding edges point at the padding node,
         # so they normalise within the padding segment only.
-        alpha = segment_softmax(logits, receivers, N)
+        E2 = senders.shape[0]
         if self.dropout > 0 and train:
+            # dropout applies to the *normalised* alpha (PyG semantics),
+            # so the denominator needs its own pass
+            alpha = segment_softmax(logits, receivers, N)
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 1.0 - self.dropout,
                                         alpha.shape)
             alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0.0)
-
-        msgs = jnp.take(h, senders, axis=0) * alpha[..., None]  # (E', H, C)
-        out = segment_sum(msgs, receivers, N)                   # (N, H, C)
+            msgs = jnp.take(h, senders, axis=0) * alpha[..., None]
+            out = segment_sum(msgs, receivers, N)             # (N, H, C)
+        else:
+            # fused path: one segment-sum carries both the weighted
+            # messages and the softmax denominator (halves the scatter
+            # count — scatters dominate small-graph epochs on TPU)
+            seg_max = jax.ops.segment_max(
+                jax.lax.stop_gradient(logits), receivers,
+                num_segments=N, indices_are_sorted=False)
+            seg_max = jnp.where(jnp.isneginf(seg_max), 0.0, seg_max)
+            expv = jnp.exp(logits - jnp.take(seg_max, receivers,
+                                             axis=0))          # (E', H)
+            weighted = jnp.take(h, senders, axis=0) * expv[..., None]
+            fused = jnp.concatenate(
+                [weighted.reshape(E2, H * C), expv], axis=1)
+            summed = segment_sum(fused, receivers, N)         # (N, HC+H)
+            denom = jnp.maximum(summed[:, H * C:], 1e-16)
+            out = summed[:, : H * C].reshape(N, H, C) / denom[..., None]
 
         if self.concat:
             out = out.reshape(N, H * C)
