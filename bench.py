@@ -34,7 +34,11 @@ def main():
     graph = from_data(data)
 
     model = GCN(hidden_channels=16, num_classes=7)
-    init_fn, epoch_step, eval_fn = create_gcn_train_step(model, graph)
+    # dense bf16 normalised-adjacency mode: the fast path for
+    # small padded graphs (one MXU matmul per layer; identical final
+    # accuracy — see PERF.md)
+    init_fn, epoch_step, eval_fn = create_gcn_train_step(model, graph,
+                                                         dense=True)
     key = jax.random.PRNGKey(0)
     params, opt_state = init_fn(key)
 
@@ -54,6 +58,10 @@ def main():
         p, o, l = run(params, opt_state, key)
         jax.block_until_ready(l)
         best = min(best, time.perf_counter() - t0)
+
+    # honesty check: the timed run must actually train
+    acc = float(eval_fn(p)["train_acc"])
+    assert acc > 0.8, f"trained accuracy {acc} too low — benchmark invalid"
 
     print(json.dumps({
         "metric": "cora_gcn_200epoch_train_wallclock",

@@ -32,14 +32,19 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  num_nodes: Optional[int] = None,
-                 num_edges: Optional[int] = None):
+                 num_edges: Optional[int] = None,
+                 dynamic_buckets: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.dynamic_buckets = dynamic_buckets
         self._rng = np.random.default_rng(seed)
         # One static budget for the whole loader: max over a worst-case
-        # batch (batch_size largest graphs), bucketed.
+        # batch (batch_size largest graphs), bucketed.  With
+        # dynamic_buckets each batch instead pads to its own rung of the
+        # geometric ladder — less padding waste for heterogeneous
+        # datasets at the cost of O(log sizes) compiled shapes.
         if num_nodes is None or num_edges is None:
             sizes_n = sorted((d.num_nodes for d in dataset), reverse=True)
             sizes_e = sorted((d.num_edges for d in dataset), reverse=True)
@@ -69,10 +74,17 @@ class DataLoader:
             chunk = idx[start:start + bs]
             if self.drop_last and len(chunk) < bs:
                 break
-            yield collate([self.dataset[int(i)] for i in chunk],
-                          num_nodes=self.num_nodes,
-                          num_edges=self.num_edges,
-                          num_graphs=self.num_graphs)
+            datas = [self.dataset[int(i)] for i in chunk]
+            if self.dynamic_buckets:
+                nn_ = bucket_size(sum(d.num_nodes for d in datas) + 1)
+                ne_ = bucket_size(max(sum(d.num_edges for d in datas), 1))
+                yield collate(datas, num_nodes=min(nn_, self.num_nodes),
+                              num_edges=min(ne_, self.num_edges),
+                              num_graphs=self.num_graphs)
+            else:
+                yield collate(datas, num_nodes=self.num_nodes,
+                              num_edges=self.num_edges,
+                              num_graphs=self.num_graphs)
 
 
 class DataListLoader:
