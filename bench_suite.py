@@ -22,7 +22,66 @@ BASELINES = {  # reference wall-clock seconds on GTX 1080Ti
     ("cora", "gcn"): 0.25, ("cora", "gat"): 0.80,
     ("citeseer", "gcn"): 0.30, ("citeseer", "gat"): 0.88,
     ("pubmed", "gcn"): 0.32, ("pubmed", "gat"): 2.42,
+    ("mutag", "rgcn"): 2.14,
 }
+
+
+def bench_rgcn(epochs: int = 200):
+    """MUTAG-RDF RGCN 200-epoch full-batch (reference README.md:109-114:
+    2.14 s on the GTX 1080Ti).  Full-scale entity graph (23644 nodes,
+    46 relations, num_bases=30)."""
+    import optax
+
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets import Entities
+    from examples.rgcn import Net
+
+    ds = Entities("datasets_cache_fullmutag", "MUTAG", scale=1.0)
+    data = ds[0]
+    graph = from_data(data)
+    et = graph.extras["edge_type"]
+    train_idx = jnp.asarray(data.train_idx)
+    y = graph.y
+
+    from pytorch_geometric_tpu.nn.conv.rgcn_conv import rgcn_norm
+    norm = rgcn_norm(graph, et, 46)
+
+    model = Net(num_nodes=graph.num_nodes, num_relations=46,
+                num_classes=2)
+    params = model.init(jax.random.PRNGKey(0), graph, et, norm)
+    tx = optax.adam(0.01)
+    opt = tx.init(params)
+
+    def epoch_step(carry, _):
+        params, opt = carry
+
+        def loss_fn(p):
+            logits = model.apply(p, graph, et, norm)
+            logp = jax.nn.log_softmax(logits)
+            sel = jnp.take(logp, train_idx, axis=0)
+            lab = jnp.take(y, train_idx).astype(jnp.int32)
+            return -jnp.mean(
+                jnp.take_along_axis(sel, lab[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        import optax as _o
+        return (_o.apply_updates(params, updates), opt), loss
+
+    @jax.jit
+    def run(params, opt):
+        (_, _), losses = jax.lax.scan(epoch_step, (params, opt), None,
+                                      length=epochs)
+        return losses[-1]
+
+    elapsed = _time(run, params, opt)
+    base = BASELINES[("mutag", "rgcn")]
+    print(json.dumps({
+        "metric": f"mutag_rgcn_{epochs}epoch_wallclock",
+        "value": round(elapsed, 6), "unit": "s",
+        "vs_baseline": round(base / elapsed, 3),
+    }))
+    return elapsed
 
 
 def _time(fn, *args, iters=3):
@@ -53,7 +112,10 @@ def bench_citation(dataset: str, model_name: str, epochs: int = 200):
 
     if model_name == "gcn":
         model = GCN(hidden_channels=16, num_classes=C)
-        init_fn, epoch_step, _ = create_gcn_train_step(model, graph)
+        # dense bf16 path for small padded graphs (N^2 memory)
+        dense = graph.num_nodes <= 8192
+        init_fn, epoch_step, _ = create_gcn_train_step(model, graph,
+                                                       dense=dense)
         key = jax.random.PRNGKey(0)
         params, opt_state = init_fn(key)
 
@@ -149,6 +211,8 @@ def main():
     for ds in datasets:
         for m in ["gcn", "gat"]:
             bench_citation(ds, m)
+    if not args.quick:
+        bench_rgcn()
     if not args.skip_spmm:
         bench_spmm()
 

@@ -20,12 +20,14 @@ class Net(nn.Module):
     num_classes: int
 
     @nn.compact
-    def __call__(self, graph, edge_type):
+    def __call__(self, graph, edge_type, norm=None):
         x = RGCNConv(self.num_nodes, 16, self.num_relations,
-                     num_bases=30, name="conv1")(graph, None, edge_type)
+                     num_bases=30, name="conv1")(graph, None, edge_type,
+                                                 norm=norm)
         x = nn.relu(x)
         x = RGCNConv(16, self.num_classes, self.num_relations,
-                     num_bases=30, name="conv2")(graph, x, edge_type)
+                     num_bases=30, name="conv2")(graph, x, edge_type,
+                                                 norm=norm)
         return x
 
 
@@ -38,9 +40,12 @@ def run(epochs: int = 50, seed: int = 0):
     test_idx = jnp.asarray(data.test_idx)
     y = graph.y
 
+    from pytorch_geometric_tpu.nn.conv.rgcn_conv import rgcn_norm
+    norm = rgcn_norm(graph, et, 46)   # static: hoisted out of the loop
+
     model = Net(num_nodes=graph.num_nodes, num_relations=46,
                 num_classes=2)
-    params = model.init(jax.random.PRNGKey(seed), graph, et)
+    params = model.init(jax.random.PRNGKey(seed), graph, et, norm)
     tx = optax.adam(0.01)
     opt = tx.init(params)
 
@@ -48,7 +53,7 @@ def run(epochs: int = 50, seed: int = 0):
         params, opt = carry
 
         def loss_fn(p):
-            logits = model.apply(p, graph, et)
+            logits = model.apply(p, graph, et, norm)
             logp = jax.nn.log_softmax(logits)
             sel = jnp.take(logp, train_idx, axis=0)
             lab = jnp.take(y, train_idx).astype(jnp.int32)
@@ -66,7 +71,7 @@ def run(epochs: int = 50, seed: int = 0):
         return params, losses
 
     params, losses = train_all(params, opt)
-    logits = jax.jit(lambda p: model.apply(p, graph, et))(params)
+    logits = jax.jit(lambda p: model.apply(p, graph, et, norm))(params)
     pred = jnp.argmax(jnp.take(logits, test_idx, axis=0), axis=1)
     acc = float(jnp.mean(
         (pred == jnp.take(y, test_idx).astype(jnp.int32))))

@@ -6,14 +6,17 @@ node-id embeddings).  Semantics (PyG 1.4.x, aggr='mean' per relation):
 x'_i = W_root x_i + sum_r mean_{j in N_r(i)} W_r x_j, with basis
 decomposition W_r = sum_b a_rb B_b.
 
-TPU design: never gather a per-edge (F x C) matrix.  With bases, project
-x through each basis once (B dense matmuls, MXU), gather the per-edge
-basis-combined message as a_r[edge_type] . basis_msgs — an (E, B) x
-(B, C) contraction after the gather; per-relation mean normalisation is
-a segment count per (receiver, relation) pair, computed as a segment sum
-over a fused index r * N + i (static num_segments = R * N would blow up;
-instead normalise by per-edge inverse counts gathered from a
-(receiver, relation)-keyed count).
+TPU design — never gather a per-edge (F x C) matrix, never materialise
+(E, B, C) messages (SURVEY §7 hard-parts list: "basis-combine after
+aggregation"):
+
+- x given: **relation-bucketed aggregation** — one fused segment-sum
+  with ids ``receiver * R + relation`` builds Agg (N, R, F_in), then a
+  single einsum with W = att @ basis collapses relations; 2 scatters +
+  1 gather + 1 MXU contraction per layer regardless of R.
+- x = None (node-id embeddings): precompute W_full = att @ basis as an
+  (R, N_in, C) table once, gather one (E, C) row per edge by fused id
+  ``relation * N_in + sender`` and segment-sum; 1 gather + 2 scatters.
 """
 
 import jax.numpy as jnp
@@ -22,6 +25,20 @@ from flax import linen as nn
 from pytorch_geometric_tpu.data.graph import Graph
 from pytorch_geometric_tpu.nn.inits import glorot, zeros
 from pytorch_geometric_tpu.ops.segment import segment_sum
+
+
+def rgcn_norm(graph: Graph, edge_type, num_relations: int):
+    """Static per-edge mean-normalisation weights 1/|N_r(i)| — depends
+    only on the graph, so compute once and reuse across layers/epochs
+    (the RGCN analog of gcn_norm's cached=True)."""
+    R = num_relations
+    et = edge_type.astype(jnp.int32)
+    emask = graph.real_edge_mask()
+    fused_rr = graph.receivers * R + et
+    cnt = segment_sum(emask.astype(jnp.float32), fused_rr,
+                      graph.num_nodes * R)
+    inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+    return jnp.take(inv, fused_rr) * emask.astype(jnp.float32)
 
 
 class RGCNConv(nn.Module):
@@ -33,62 +50,58 @@ class RGCNConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, graph: Graph, x=None, edge_type=None):
+    def __call__(self, graph: Graph, x=None, edge_type=None, norm=None):
         N, C, R = graph.num_nodes, self.out_channels, self.num_relations
-        et = edge_type if edge_type is not None else graph.edge_type
-        et = et.astype(jnp.int32)
-        emask = graph.real_edge_mask()
-
-        if x is None:
-            # node-id one-hot: W_r acts as per-relation embedding table
-            x = None
-            F_in = self.in_channels
-        else:
-            F_in = x.shape[-1]
+        et = (edge_type if edge_type is not None
+              else graph.edge_type).astype(jnp.int32)
+        F_in = self.in_channels if x is None else x.shape[-1]
 
         B = self.num_bases if self.num_bases > 0 else R
         basis = self.param("basis", glorot, (B, F_in, C))
-        if self.num_bases > 0:
-            att = self.param("att", glorot, (R, B))
-        else:
-            att = None
+        att = self.param("att", glorot, (R, B)) if self.num_bases > 0 \
+            else None
 
-        # per-(receiver, relation) edge count for mean normalisation
-        fused = graph.receivers * R + et
-        cnt = segment_sum(emask.astype(jnp.float32), fused, N * R)
-        inv_cnt = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
-        w_edge = jnp.take(inv_cnt, fused) * emask.astype(jnp.float32)
+        # per-(receiver, relation) mean normalisation (static; pass a
+        # precomputed rgcn_norm to hoist it out of the epoch loop)
+        w_edge = norm if norm is not None else rgcn_norm(graph, et, R)
+
+        if att is not None:
+            W = jnp.einsum("rb,bfc->rfc", att, basis)     # (R, F_in, C)
+        else:
+            W = basis
 
         if x is None:
-            # one-hot node-id features: the message for edge e is row
-            # senders[e] of W_{et[e]} — gather basis rows per edge, then
-            # basis-combine (clip guards padding nodes >= F_in).
+            # embedding mode: message = row senders[e] of W[et[e]] —
+            # one fused-id gather from the (R * F_in, C) table
             rows = jnp.clip(graph.senders, 0, F_in - 1)
-            if att is not None:
-                a_e = jnp.take(att, et, axis=0)             # (E, B)
-                hb = jnp.take(basis, rows, axis=1)          # (B, E, C)
-                msgs = jnp.einsum("eb,bec->ec", a_e, hb)
-            else:
-                msgs = basis[et, rows]
+            table = W.reshape(R * F_in, C)
+            msgs = jnp.take(table, et * F_in + rows, axis=0)  # (E, C)
+            out = segment_sum(msgs * w_edge[:, None], graph.receivers, N)
+        elif C < F_in:
+            # transform-first: per-(node, relation) outputs are smaller
+            # than inputs, so project before the per-edge gather
+            H = jnp.einsum("nf,rfc->nrc", x, W,
+                           preferred_element_type=jnp.float32)
+            msgs = jnp.take(H.reshape(N * R, C),
+                            graph.senders * R + et, axis=0)   # (E, C)
+            out = segment_sum(msgs * w_edge[:, None], graph.receivers, N)
         else:
-            # basis messages: x -> each basis once, then combine per edge
-            hb = jnp.einsum("nf,bfc->nbc", x, basis)        # (N, B, C)
-            hj = jnp.take(hb, graph.senders, axis=0)        # (E, B, C)
-            if att is not None:
-                a_e = jnp.take(att, et, axis=0)             # (E, B)
-                msgs = jnp.einsum("eb,ebc->ec", a_e, hj)
-            else:
-                msgs = jnp.take_along_axis(
-                    hj, et[:, None, None], axis=1)[:, 0, :]
-        out = segment_sum(msgs * w_edge[:, None], graph.receivers, N)
+            # aggregate-first (relation-bucketed), basis-combine after
+            fused_rr = graph.receivers * R + et
+            x_j = jnp.take(x, graph.senders, axis=0) * w_edge[:, None]
+            agg = segment_sum(x_j, fused_rr, N * R)       # (N*R, F_in)
+            out = jnp.einsum("nrf,rfc->nc",
+                             agg.reshape(N, R, F_in), W,
+                             preferred_element_type=jnp.float32)
 
         if self.root_weight:
-            w = self.param("root", glorot, (F_in, C))
+            w_root = self.param("root", glorot, (F_in, C))
             if x is None:
-                root = jnp.take(w, jnp.clip(
+                root = jnp.take(w_root, jnp.clip(
                     jnp.arange(N), 0, F_in - 1), axis=0)
             else:
-                root = jnp.dot(x, w, preferred_element_type=jnp.float32)
+                root = jnp.dot(x, w_root,
+                               preferred_element_type=jnp.float32)
             out = out + root
         if self.use_bias:
             out = out + self.param("bias", zeros, (C,))
