@@ -17,10 +17,14 @@ from pytorch_geometric_tpu.nn.conv.spline_conv import (  # noqa: F401
     spline_basis,
 )
 from pytorch_geometric_tpu.nn.conv.point_conv import PointConv  # noqa: F401
+from pytorch_geometric_tpu.nn.conv.edge_conv import EdgeConv  # noqa: F401
+from pytorch_geometric_tpu.nn.conv.gcn_conv import gcn_norm_dense  # noqa: F401
+from pytorch_geometric_tpu.nn.conv.rgcn_conv import rgcn_norm  # noqa: F401
 
 __all__ = [
-    "GCNConv", "gcn_norm", "EdgeNorm", "GATConv", "GraphConv", "GINConv",
+    "GCNConv", "gcn_norm", "gcn_norm_dense", "EdgeNorm", "GATConv",
+    "GraphConv", "GINConv",
     "SAGEConv", "DenseSAGEConv", "ChebConv", "SGConv", "sgc_precompute",
-    "ARMAConv", "AGNNConv", "NNConv", "RGCNConv", "DNAConv",
-    "SplineConv", "spline_basis", "PointConv",
+    "ARMAConv", "AGNNConv", "NNConv", "RGCNConv", "rgcn_norm", "DNAConv",
+    "SplineConv", "spline_basis", "PointConv", "EdgeConv",
 ]

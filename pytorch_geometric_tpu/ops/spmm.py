@@ -52,7 +52,7 @@ def spmm(senders, receivers, x, num_nodes, weights=None, reduce="sum",
 # Pallas windowed one-hot SpMM
 # ---------------------------------------------------------------------------
 
-def _spmm_kernel(window, tile,
+def _spmm_kernel(window, tile, compute_dtype,
                  src_w_ref, dst_w_ref, first_ref,   # scalar prefetch
                  x_ref, lsrc_ref, ldst_ref, w_ref,  # tensor inputs
                  out_ref):
@@ -61,6 +61,8 @@ def _spmm_kernel(window, tile,
     Gather and scatter are expressed as one-hot matmuls so both run on the
     MXU; padding edges carry weight 0 and vanish.  Output accumulates in
     VMEM across consecutive tiles of the same destination window.
+    ``compute_dtype=bfloat16`` runs the one-hot matmuls at full MXU rate
+    (one-hot entries are exact in bf16; accumulation stays fp32).
     """
     del src_w_ref, dst_w_ref
     t = pl.program_id(1)
@@ -72,13 +74,13 @@ def _spmm_kernel(window, tile,
     w = w_ref[row, :]
     # gather one-hot: G[e, c] = (lsrc[e] == c)            -> (tile, window)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-    gat = (lsrc[:, None] == cols).astype(jnp.float32)
-    gathered = jax.lax.dot(gat, x_ref[:],
+    gat = (lsrc[:, None] == cols).astype(compute_dtype)
+    gathered = jax.lax.dot(gat, x_ref[:].astype(compute_dtype),
                            preferred_element_type=jnp.float32)
-    gathered = gathered * w[:, None]
+    gathered = (gathered * w[:, None]).astype(compute_dtype)
     # scatter one-hot: S[r, e] = (ldst[e] == r)           -> (window, tile)
     rows = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
-    scat = (rows == ldst[None, :]).astype(jnp.float32)
+    scat = (rows == ldst[None, :]).astype(compute_dtype)
     contrib = jax.lax.dot(scat, gathered,
                           preferred_element_type=jnp.float32)
 
@@ -93,7 +95,8 @@ def _spmm_kernel(window, tile,
 
 def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
                      tile_src_win, tile_dst_win, tile_first,
-                     *, window, tile, n_dst_windows, f_tile):
+                     *, window, tile, n_dst_windows, f_tile,
+                     compute_dtype=jnp.float32):
     """Invoke the Pallas kernel.  x_pad: (n_src_windows*window, Fp)."""
     T = tile_src_win.shape[0]  # real tile count (w_packed rows padded to 8)
     fp = x_pad.shape[1]
@@ -112,7 +115,8 @@ def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
             (window, f_tile),
             lambda j, t, srcw, dstw, first: (dstw[t], j)),
     )
-    kernel = functools.partial(_spmm_kernel, window, tile)
+    kernel = functools.partial(_spmm_kernel, window, tile,
+                               compute_dtype)
     flops = 2 * 2 * T * tile * window * fp
     return pl.pallas_call(
         kernel,
@@ -143,7 +147,8 @@ class SpmmOperator:
     """
 
     def __init__(self, senders, receivers, num_nodes, *, window=256,
-                 tile=256):
+                 tile=256, compute_dtype=jnp.float32):
+        self.compute_dtype = compute_dtype
         if tile % 128:
             raise ValueError(f"tile must be a multiple of 128, got {tile}")
         if window % 8:
@@ -199,7 +204,8 @@ class SpmmOperator:
             x_pad, w_packed, dv["local_src"], dv["local_dst"],
             dv["tile_src_win"], dv["tile_dst_win"], dv["tile_first"],
             window=pk.window, tile=pk.tile,
-            n_dst_windows=pk.num_dst_windows, f_tile=f_tile)
+            n_dst_windows=pk.num_dst_windows, f_tile=f_tile,
+            compute_dtype=self.compute_dtype)
         return out[:N, :F]
 
     # --- public -----------------------------------------------------------

@@ -154,3 +154,29 @@ def test_dna_conv(rng):
     out = conv.apply(params, g, x_all)
     assert out.shape == (g.num_nodes, C)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edge_conv_matches_dense(rng):
+    from pytorch_geometric_tpu.nn.conv import EdgeConv
+
+    g = small_graph(rng)
+    mlp = nn.Dense(5)
+    conv = EdgeConv(mlp=mlp)
+    params = conv.init(jax.random.PRNGKey(0), g, g.x)
+    out = np.asarray(conv.apply(params, g, g.x))
+    p = params["params"]["mlp"]
+    x = np.asarray(g.x)
+    s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    em = np.asarray(g.real_edge_mask())
+    want = np.zeros((g.num_nodes, 5))
+    seen = np.zeros(g.num_nodes, dtype=bool)
+    for e in np.flatnonzero(em):
+        m = np.concatenate([x[r[e]], x[s[e]] - x[r[e]]]) @ \
+            np.asarray(p["kernel"]) + np.asarray(p["bias"])
+        if not seen[r[e]]:
+            want[r[e]] = m
+            seen[r[e]] = True
+        else:
+            want[r[e]] = np.maximum(want[r[e]], m)
+    nm = np.asarray(g.node_mask) & seen
+    np.testing.assert_allclose(out[nm], want[nm], rtol=1e-4, atol=1e-4)

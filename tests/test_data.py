@@ -98,3 +98,20 @@ def test_dataset_shuffle_slice():
     assert len(sh) == 12
     sub = sh[:5]
     assert len(sub) == 5
+
+
+def test_dataloader_dynamic_buckets(rng):
+    sizes = [4, 6, 40, 35, 5, 38]
+    datas = []
+    for n in sizes:
+        e = n * 2
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        datas.append(Data(x=rng.normal(size=(n, 4)).astype(np.float32),
+                          edge_index=ei, y=np.int64(0)))
+    loader = DataLoader(datas, batch_size=2, dynamic_buckets=True)
+    shapes = [(g.num_nodes, g.num_edges) for g in loader]
+    # small batches pad to smaller rungs than the worst-case budget
+    assert min(s[0] for s in shapes) < max(s[0] for s in shapes)
+    total = sum(int(np.asarray(g.node_mask).sum()) for g in
+                DataLoader(datas, batch_size=2, dynamic_buckets=True))
+    assert total == sum(sizes)

@@ -84,3 +84,31 @@ def test_sorted_segment_sum(rng):
     want_g = 3 * (want[r] ** 2)
     np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-3,
                                atol=1e-3)
+
+
+def test_hybrid_spmm_matches_dense(rng):
+    from pytorch_geometric_tpu.ops.hybrid_spmm import HybridSpmm
+
+    n, f = 300, 11
+    # half the edges dense in one window-pair, half scattered
+    s_dense = rng.integers(0, 64, 400)
+    r_dense = rng.integers(0, 64, 400)
+    s_sp = rng.integers(0, n, 200)
+    r_sp = rng.integers(0, n, 200)
+    s = np.concatenate([s_dense, s_sp])
+    r = np.concatenate([r_dense, r_sp])
+    w = rng.normal(size=600).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    op = HybridSpmm(s, r, n, window=64, tile=128, dense_threshold=100,
+                    compute_dtype=jnp.float32)
+    assert 0.0 < op.dense_frac < 1.0
+    got = np.asarray(op(jnp.asarray(w), jnp.asarray(x)))
+    want = dense(s, r, w, x, n)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # grads flow through both parts
+    g = jax.grad(lambda w_, x_: jnp.sum(op(w_, x_) ** 2),
+                 argnums=(0, 1))(jnp.asarray(w), jnp.asarray(x))
+    a = np.zeros((n, n)); np.add.at(a, (r, s), w)
+    want_gx = 2 * a.T @ (a @ x)
+    np.testing.assert_allclose(np.asarray(g[1]), want_gx, rtol=1e-3,
+                               atol=1e-3)
