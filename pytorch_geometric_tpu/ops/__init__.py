@@ -25,7 +25,12 @@ from pytorch_geometric_tpu.ops.segment import (  # noqa: F401
     segment_softmax,
     scatter,
 )
-from pytorch_geometric_tpu.ops.spmm import spmm  # noqa: F401
+from pytorch_geometric_tpu.ops.spmm import spmm, SpmmOperator  # noqa: F401
+from pytorch_geometric_tpu.ops.sorted_spmm import (  # noqa: F401
+    SortedSpmm,
+    SortedSegmentSum,
+)
+from pytorch_geometric_tpu.ops.hybrid_spmm import HybridSpmm  # noqa: F401
 from pytorch_geometric_tpu.ops.sddmm import sddmm, edge_gather  # noqa: F401
 
 __all__ = [
@@ -36,6 +41,10 @@ __all__ = [
     "segment_softmax",
     "scatter",
     "spmm",
+    "SpmmOperator",
+    "SortedSpmm",
+    "SortedSegmentSum",
+    "HybridSpmm",
     "sddmm",
     "edge_gather",
 ]

@@ -117,13 +117,13 @@ def pack_sorted(senders, receivers, num_nodes, *, tile=256, rows=256):
         tile_first=np.asarray(t_first, np.int32))
 
 
-def _scatter_kernel(rows, tile, block_ref, first_ref,
+def _scatter_kernel(rows, tile, compute_dtype, block_ref, first_ref,
                     msgs_ref, ldst_ref, out_ref):
     t = pl.program_id(1)
     ld = ldst_ref[t % 8, :]
     rr = jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 0)
-    scat = (rr == ld[None, :]).astype(jnp.float32)
-    contrib = jax.lax.dot(scat, msgs_ref[...],
+    scat = (rr == ld[None, :]).astype(compute_dtype)
+    contrib = jax.lax.dot(scat, msgs_ref[...].astype(compute_dtype),
                           preferred_element_type=jnp.float32)
 
     @pl.when(first_ref[t] == 1)
@@ -136,7 +136,8 @@ def _scatter_kernel(rows, tile, block_ref, first_ref,
 
 
 def _scatter_tiles(msgs_packed, local_dst, tile_block, tile_first, *,
-                   rows, tile, n_blocks, f_tile):
+                   rows, tile, n_blocks, f_tile,
+                   compute_dtype=jnp.float32):
     T = tile_block.shape[0]
     fp = msgs_packed.shape[1]
     n_ft = fp // f_tile
@@ -150,7 +151,8 @@ def _scatter_tiles(msgs_packed, local_dst, tile_block, tile_first, *,
         out_specs=pl.BlockSpec(
             (rows, f_tile), lambda j, t, blk, first: (blk[t], j)),
     )
-    kernel = functools.partial(_scatter_kernel, rows, tile)
+    kernel = functools.partial(_scatter_kernel, rows, tile,
+                               compute_dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -170,10 +172,11 @@ class SortedSpmm:
     structure, differentiable in (weights, x)."""
 
     def __init__(self, senders, receivers, num_nodes, *, tile=256,
-                 rows=256, f_tile=128):
+                 rows=256, f_tile=128, compute_dtype=jnp.float32):
         if tile % 128 or rows % 8:
             raise ValueError("tile % 128 == 0 and rows % 8 == 0 required")
         self.f_tile = f_tile
+        self.compute_dtype = compute_dtype
         self.num_nodes = int(num_nodes)
         self.fwd = pack_sorted(senders, receivers, num_nodes, tile=tile,
                                rows=rows)
@@ -207,7 +210,8 @@ class SortedSpmm:
         out = _scatter_tiles(
             msgs.astype(jnp.float32), dv["local_dst"], dv["tile_block"],
             dv["tile_first"], rows=pk.rows, tile=pk.tile,
-            n_blocks=pk.num_row_blocks, f_tile=self.f_tile)
+            n_blocks=pk.num_row_blocks, f_tile=self.f_tile,
+            compute_dtype=self.compute_dtype)
         return out[:N, :F]
 
     def __call__(self, weights, x):
@@ -225,10 +229,11 @@ class SortedSegmentSum:
     """
 
     def __init__(self, receivers, num_nodes, *, tile=256, rows=256,
-                 f_tile=128):
+                 f_tile=128, compute_dtype=jnp.float32):
         receivers = np.asarray(receivers)
         senders_dummy = np.zeros_like(receivers)
         self.f_tile = f_tile
+        self.compute_dtype = compute_dtype
         self.num_nodes = int(num_nodes)
         self.pk = pack_sorted(senders_dummy, receivers, num_nodes,
                               tile=tile, rows=rows)
@@ -254,7 +259,8 @@ class SortedSegmentSum:
         out = _scatter_tiles(packed, self._local_dst, self._tile_block,
                              self._tile_first, rows=pk.rows, tile=pk.tile,
                              n_blocks=pk.num_row_blocks,
-                             f_tile=self.f_tile)
+                             f_tile=self.f_tile,
+                             compute_dtype=self.compute_dtype)
         return out[: self.num_nodes, :F]
 
 

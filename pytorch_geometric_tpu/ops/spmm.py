@@ -184,14 +184,15 @@ class SpmmOperator:
 
     # --- internals --------------------------------------------------------
 
-    def _run(self, which, weights, x):
+    def pack_weights(self, weights, which: str = "fwd"):
+        """Route per-edge weights into packed (T8, tile) layout.
+
+        This is a per-edge gather (~20 ns/edge on TPU regardless of
+        width — the dominant cost of a dynamic-weight call).  For
+        weights that are static per graph (GCN's normalised adjacency),
+        call once and reuse via :meth:`apply_packed`."""
         pk = self.fwd if which == "fwd" else self.bwd
         dv = self._dev[which]
-        N, F = self.num_nodes, x.shape[1]
-        f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
-        fp = _round_up(F, f_tile)
-        x_pad = jnp.zeros((pk.num_src_windows * pk.window, fp), jnp.float32)
-        x_pad = x_pad.at[:N, :F].set(x.astype(jnp.float32))
         w_ext = jnp.concatenate(
             [weights.astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
         T = pk.num_tiles
@@ -200,6 +201,19 @@ class SpmmOperator:
         if T8 != T:  # pad tile-row dim for (8, tile) blocking
             w_packed = jnp.concatenate(
                 [w_packed, jnp.zeros((T8 - T, pk.tile), jnp.float32)])
+        return w_packed
+
+    def apply_packed(self, w_packed, x, which: str = "fwd"):
+        """SpMM with pre-packed weights — no per-edge gather on the hot
+        path; all remaining work is windowed MXU matmuls."""
+        pk = self.fwd if which == "fwd" else self.bwd
+        dv = self._dev[which]
+        N, F = self.num_nodes, x.shape[1]
+        f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
+        fp = _round_up(F, f_tile)
+        x_pad = jnp.zeros((pk.num_src_windows * pk.window, fp),
+                          jnp.float32)
+        x_pad = x_pad.at[:N, :F].set(x.astype(jnp.float32))
         out = _spmm_pallas_raw(
             x_pad, w_packed, dv["local_src"], dv["local_dst"],
             dv["tile_src_win"], dv["tile_dst_win"], dv["tile_first"],
@@ -207,6 +221,10 @@ class SpmmOperator:
             n_dst_windows=pk.num_dst_windows, f_tile=f_tile,
             compute_dtype=self.compute_dtype)
         return out[:N, :F]
+
+    def _run(self, which, weights, x):
+        return self.apply_packed(self.pack_weights(weights, which), x,
+                                 which)
 
     # --- public -----------------------------------------------------------
 
