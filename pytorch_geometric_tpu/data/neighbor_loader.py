@@ -96,10 +96,14 @@ class NeighborSampler:
         e_real = len(src)
 
         N, E = self.node_budget, self.edge_budget
-        if n_real + 1 > N or e_real > E:   # over budget: trim edges
-            keep = slice(0, E)
-            src, dst = src[keep], dst[keep]
-            e_real = len(src)
+        # budgets are derived from the per-hop fan-out caps, so overflow
+        # is impossible for a correct sampler; fail loud rather than
+        # silently corrupting indices if that invariant ever breaks
+        if n_real + 1 > N or e_real > E:
+            raise RuntimeError(
+                f"sampled subgraph exceeds static budget "
+                f"({n_real + 1}>{N} nodes or {e_real}>{E} edges) — "
+                "sampler invariant violated")
 
         s_local = np.full(E, n_real, np.int32)
         d_local = np.full(E, n_real, np.int32)

@@ -89,7 +89,7 @@ class PPI(InMemoryDataset):
         for gid in np.unique(graph_id):
             nodes = np.flatnonzero(graph_id == gid)
             lo, hi = nodes.min(), nodes.max() + 1
-            m = (src >= lo) & (src < hi)
+            m = (src >= lo) & (src < hi) & (dst >= lo) & (dst < hi)
             ei = np.stack([src[m] - lo, dst[m] - lo])
             ei = np.concatenate([ei, ei[::-1]], axis=1)
             key = ei[0] * (hi - lo) + ei[1]

@@ -32,16 +32,18 @@ class GCN(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, x, norm=None, *, train: bool = False,
-                 norm_dense=None):
-        if norm is None and norm_dense is None:
+                 norm_dense=None, aggregate_fn=None):
+        if norm is None and norm_dense is None and aggregate_fn is None:
             norm = gcn_norm(graph)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = GCNConv(self.hidden_channels, name="conv1")(
-            graph, x, norm=norm, norm_dense=norm_dense)
+            graph, x, norm=norm, norm_dense=norm_dense,
+            aggregate_fn=aggregate_fn)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = GCNConv(self.num_classes, name="conv2")(
-            graph, x, norm=norm, norm_dense=norm_dense)
+            graph, x, norm=norm, norm_dense=norm_dense,
+            aggregate_fn=aggregate_fn)
         return x  # logits; log_softmax applied in the loss
 
 
@@ -60,30 +62,53 @@ def masked_accuracy(logits, labels, mask):
 
 def create_gcn_train_step(model: GCN, graph: Graph, weight_decay=5e-4,
                           lr=0.01, dense: bool = False,
-                          dense_dtype=jnp.bfloat16):
+                          dense_dtype=jnp.bfloat16,
+                          pallas: bool = False, window: int = 512,
+                          tile: int = 512):
     """Build (init_fn, epoch_step, eval_fn) closures over a static graph.
 
     ``epoch_step`` is scan-compatible: carry = (params, opt_state, key).
     Weight decay applies to the first layer only, matching the reference's
-    per-group Adam config (examples/gcn.py:31-34).  ``dense=True`` uses
-    the precomputed dense normalised adjacency (bf16 MXU matmuls) — the
-    fast path for small padded graphs.
+    per-group Adam config (examples/gcn.py:31-34).
+
+    Aggregation backends: default XLA segment path; ``dense=True`` — the
+    precomputed dense normalised adjacency (bf16 MXU matmuls; fastest
+    for small padded graphs, N^2 memory); ``pallas=True`` — the windowed
+    one-hot kernel with the static norm weights pre-packed (no per-edge
+    gathers on the hot path; for graphs past the dense-memory limit).
     """
     from pytorch_geometric_tpu.nn.conv.gcn_conv import gcn_norm_dense
 
-    norm = None if dense else gcn_norm(graph)
-    norm_dense = gcn_norm_dense(graph, dtype=dense_dtype) if dense \
-        else None
+    aggregate_fn = None
+    norm_dense = None
+    norm = None
+    if dense:
+        norm_dense = gcn_norm_dense(graph, dtype=dense_dtype)
+    elif pallas:
+        import numpy as np
+
+        from pytorch_geometric_tpu.ops.spmm import SpmmOperator
+
+        full_norm = gcn_norm(graph)
+        op = SpmmOperator(np.asarray(full_norm.senders),
+                          np.asarray(full_norm.receivers),
+                          graph.num_nodes, window=window, tile=tile,
+                          compute_dtype=jnp.bfloat16)
+        aggregate_fn = op.bind(full_norm.weights)
+    else:
+        norm = gcn_norm(graph)
     tx = optax.adam(lr)
 
     def init_fn(key):
         params = model.init({"params": key}, graph, graph.x, norm,
-                            norm_dense=norm_dense)
+                            norm_dense=norm_dense,
+                            aggregate_fn=aggregate_fn)
         return params, tx.init(params)
 
     def loss_fn(params, key):
         logits = model.apply(params, graph, graph.x, norm, train=True,
                              norm_dense=norm_dense,
+                             aggregate_fn=aggregate_fn,
                              rngs={"dropout": key})
         loss = masked_softmax_xent(logits, graph.y, graph.train_mask)
         wd = sum(jnp.sum(p ** 2) for p in
@@ -105,7 +130,8 @@ def create_gcn_train_step(model: GCN, graph: Graph, weight_decay=5e-4,
 
     def eval_fn(params):
         logits = model.apply(params, graph, graph.x, norm, train=False,
-                             norm_dense=norm_dense)
+                             norm_dense=norm_dense,
+                             aggregate_fn=aggregate_fn)
         return {
             "train_acc": masked_accuracy(logits, graph.y, graph.train_mask),
             "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),

@@ -77,11 +77,15 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, x, edge_weight=None,
                  norm: Optional[EdgeNorm] = None, spmm_op=None,
-                 norm_dense=None):
+                 norm_dense=None, aggregate_fn=None):
         weight = self.param("weight", glorot, (x.shape[-1],
                                                self.out_channels))
         h = jnp.dot(x, weight, preferred_element_type=jnp.float32)
-        if norm_dense is not None:
+        if aggregate_fn is not None:
+            # fully custom aggregation (e.g. a pre-packed Pallas SpMM
+            # closure with the static normalised weights baked in)
+            out = aggregate_fn(h)
+        elif norm_dense is not None:
             out = jnp.dot(norm_dense, h.astype(norm_dense.dtype),
                           preferred_element_type=jnp.float32)
         elif spmm_op is not None:

@@ -226,6 +226,28 @@ class SpmmOperator:
         return self.apply_packed(self.pack_weights(weights, which), x,
                                  which)
 
+    def bind(self, weights):
+        """Differentiable closure with *static* weights pre-packed for
+        both directions — zero per-edge gathers on the train hot path.
+        (No gradient w.r.t. the bound weights; use __call__ for that.)"""
+        wp_f = self.pack_weights(weights, "fwd")
+        wp_b = self.pack_weights(weights, "bwd")
+
+        @jax.custom_vjp
+        def f(x):
+            return self.apply_packed(wp_f, x, "fwd")
+
+        def f_fwd(x):
+            # zero-size dtype carrier (residuals must be jax types)
+            return f(x), jnp.zeros((0,), x.dtype)
+
+        def f_bwd(proto, g):
+            return (self.apply_packed(
+                wp_b, g.astype(jnp.float32), "bwd").astype(proto.dtype),)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
     # --- public -----------------------------------------------------------
 
     def __call__(self, weights, x):

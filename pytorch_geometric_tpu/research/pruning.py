@@ -32,7 +32,10 @@ def contraction_layer_coefficients(num_features: int, num_layers: int,
 
 def find_cutoff_point(diag_values: np.ndarray, con_coeff: float) -> int:
     """Last index i+1 where sigma_i > con_coeff * sigma_{i+1}; full rank
-    if no such gap (reference :117-125)."""
+    if no such gap (reference :117-125 — reproduced exactly, including
+    its quirk: for descending singular values the condition holds at
+    every index when con_coeff <= 1, so meaningful width contraction
+    requires con_coeff > 1, i.e. a real spectral gap)."""
     diag_values = np.asarray(diag_values)
     cutoff = None
     for i in range(diag_values.shape[0] - 1):

@@ -80,3 +80,19 @@ def test_spmm_pallas_grad_matches_xla(rng):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_bind_static_weights(rng):
+    n, e, f = 90, 500, 9
+    s, r = random_graph(rng, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    op = SpmmOperator(s, r, n, window=64, tile=128)
+    bound = op.bind(jnp.asarray(w))
+    got = np.asarray(bound(x))
+    np.testing.assert_allclose(got, dense_spmm(s, r, w, x, n), rtol=1e-4,
+                               atol=1e-4)
+    g = jax.grad(lambda x_: jnp.sum(bound(x_) ** 2))(x)
+    a = np.zeros((n, n)); np.add.at(a, (r, s), w)
+    want = 2 * a.T @ (a @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-3, atol=1e-3)
