@@ -128,10 +128,15 @@ def bench_citation(dataset: str, model_name: str, epochs: int = 200):
         elapsed = _time(run, params, opt_state, key)
     else:
         from examples.gat import GAT
+        from pytorch_geometric_tpu.nn.conv import gat_dense_adj
+        from pytorch_geometric_tpu.ops.flash_gat import FlashGatOperator
         model = GAT(num_classes=C)
+        # fused flash-GAT Pallas path below the N^2-mask memory limit
+        flash_op = (FlashGatOperator(gat_dense_adj(graph))
+                    if graph.num_nodes <= 32768 else None)
         key = jax.random.PRNGKey(0)
         params = model.init({"params": key, "dropout": key}, graph,
-                            graph.x)
+                            graph.x, flash_op=flash_op)
         tx = optax.adamw(5e-3, weight_decay=5e-4)
         opt = tx.init(params)
 
@@ -141,6 +146,7 @@ def bench_citation(dataset: str, model_name: str, epochs: int = 200):
 
             def loss_fn(p):
                 logits = model.apply(p, graph, graph.x, train=True,
+                                     flash_op=flash_op,
                                      rngs={"dropout": sub})
                 return masked_softmax_xent(logits, graph.y,
                                            graph.train_mask)

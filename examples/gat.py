@@ -26,25 +26,36 @@ class GAT(nn.Module):
     dropout: float = 0.6
 
     @nn.compact
-    def __call__(self, graph, x, *, train: bool = False):
+    def __call__(self, graph, x, *, train: bool = False, adj=None,
+                 flash_op=None):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = GATConv(self.hidden, heads=self.heads, dropout=self.dropout,
-                    name="conv1")(graph, x, train=train)
+                    name="conv1")(graph, x, train=train, adj=adj,
+                                  flash_op=flash_op)
         x = nn.elu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = GATConv(self.num_classes, heads=1, concat=False,
                     dropout=self.dropout, name="conv2")(graph, x,
-                                                        train=train)
+                                                        train=train,
+                                                        adj=adj,
+                                                        flash_op=flash_op)
         return x
 
 
-def run(dataset_name: str = "Cora", epochs: int = 200, seed: int = 0):
+def run(dataset_name: str = "Cora", epochs: int = 200, seed: int = 0,
+        flash: bool = True):
     ds = Planetoid("datasets_cache", dataset_name,
                    transform=NormalizeFeatures())
     graph = from_data(ds[0])
+    flash_op = None
+    if flash and graph.num_nodes <= 32768:
+        from pytorch_geometric_tpu.nn.conv import gat_dense_adj
+        from pytorch_geometric_tpu.ops.flash_gat import FlashGatOperator
+        flash_op = FlashGatOperator(gat_dense_adj(graph))
     model = GAT(num_classes=ds.num_classes)
     key = jax.random.PRNGKey(seed)
-    params = model.init({"params": key, "dropout": key}, graph, graph.x)
+    params = model.init({"params": key, "dropout": key}, graph, graph.x,
+                        flash_op=flash_op)
     tx = optax.adamw(5e-3, weight_decay=5e-4)
     opt = tx.init(params)
 
@@ -54,6 +65,7 @@ def run(dataset_name: str = "Cora", epochs: int = 200, seed: int = 0):
 
         def loss_fn(p):
             logits = model.apply(p, graph, graph.x, train=True,
+                                 flash_op=flash_op,
                                  rngs={"dropout": sub})
             return masked_softmax_xent(logits, graph.y, graph.train_mask)
 
@@ -68,7 +80,8 @@ def run(dataset_name: str = "Cora", epochs: int = 200, seed: int = 0):
         return params, losses
 
     params, losses = train_all(params, opt, key)
-    logits = jax.jit(lambda p: model.apply(p, graph, graph.x))(params)
+    logits = jax.jit(lambda p: model.apply(p, graph, graph.x,
+                                           flash_op=flash_op))(params)
     accs = {s: float(masked_accuracy(logits, graph.y,
                                      graph.extras[f"{s}_mask"]))
             for s in ("train", "val", "test")}

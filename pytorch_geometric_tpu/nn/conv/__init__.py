@@ -1,7 +1,10 @@
 """Convolution zoo (reference: torch_geometric.nn conv family, SURVEY §2b)."""
 
 from pytorch_geometric_tpu.nn.conv.gcn_conv import GCNConv, gcn_norm, EdgeNorm  # noqa: F401
-from pytorch_geometric_tpu.nn.conv.gat_conv import GATConv  # noqa: F401
+from pytorch_geometric_tpu.nn.conv.gat_conv import (  # noqa: F401
+    GATConv,
+    gat_dense_adj,
+)
 from pytorch_geometric_tpu.nn.conv.graph_conv import GraphConv  # noqa: F401
 from pytorch_geometric_tpu.nn.conv.gin_conv import GINConv  # noqa: F401
 from pytorch_geometric_tpu.nn.conv.sage_conv import SAGEConv, DenseSAGEConv  # noqa: F401

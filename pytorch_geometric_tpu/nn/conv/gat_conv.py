@@ -13,6 +13,13 @@ TPU notes: the per-edge score needs only two gathered *scalars* per head
 (a_src.h and a_dst.h are precomputed per node), so the SDDMM collapses to
 gathers the XLA fuses; the softmax is the two-pass segment max/sum pair
 (reference call stack SURVEY §3.2), masked against padding edges.
+
+Dense mode (``adj=...`` built by :func:`gat_dense_adj`): for small padded
+graphs the sparse path is latency-bound (one gather/scatter kernel per
+segment op per layer), so instead materialise the (H, N, N) masked logit
+tensor, row-softmax it, and aggregate with one batched MXU matmul — the
+same trade that makes the dense GCN path ~3x the sparse one on Cora.
+N^2·H memory; callers opt in below ~4k padded nodes.
 """
 
 from typing import Optional
@@ -26,6 +33,23 @@ from pytorch_geometric_tpu.nn.inits import glorot, zeros
 from pytorch_geometric_tpu.ops.segment import segment_softmax, segment_sum
 
 
+def gat_dense_adj(graph: Graph, add_self_loops: bool = True) -> jnp.ndarray:
+    """Boolean (N, N) mask with ``adj[i, j] = True`` iff edge j -> i.
+
+    Padding edges are excluded; self loops (which GATConv adds on the
+    sparse path too) guarantee every row — padding nodes included — has
+    at least one valid entry, so the masked row-softmax never sees an
+    all-(-inf) row.
+    """
+    n = graph.num_nodes
+    mask = graph.real_edge_mask()
+    adj = jnp.zeros((n, n), jnp.bool_)
+    adj = adj.at[graph.receivers, graph.senders].max(mask)
+    if add_self_loops:
+        adj = adj | jnp.eye(n, dtype=jnp.bool_)
+    return adj
+
+
 class GATConv(nn.Module):
     out_channels: int
     heads: int = 1
@@ -36,7 +60,8 @@ class GATConv(nn.Module):
     add_self_loops: bool = True
 
     @nn.compact
-    def __call__(self, graph: Graph, x, *, train: bool = False):
+    def __call__(self, graph: Graph, x, *, train: bool = False,
+                 adj: Optional[jnp.ndarray] = None, flash_op=None):
         H, C = self.heads, self.out_channels
         N = graph.num_nodes
 
@@ -49,6 +74,26 @@ class GATConv(nn.Module):
         alpha_src = jnp.sum(h * att_src, axis=-1)   # (N, H)
         alpha_dst = jnp.sum(h * att_dst, axis=-1)
 
+        if flash_op is not None:
+            # fused Pallas path (ops/flash_gat.py): one kernel fwd, one
+            # bwd; dropout bits regenerated in-kernel from the seed
+            if self.dropout > 0 and train:
+                rng = self.make_rng("dropout")
+                seed = jax.random.randint(rng, (), 0, 1 << 20)
+                out = flash_op(alpha_dst, alpha_src,
+                               h.reshape(N, H * C),
+                               seed.astype(jnp.float32),
+                               rate=self.dropout)
+            else:
+                out = flash_op(alpha_dst, alpha_src,
+                               h.reshape(N, H * C), 0.0, rate=0.0)
+            return self._finalize(out.reshape(N, H, C), N, H, C)
+
+        if adj is not None:
+            out = self._dense_attention(h, alpha_src, alpha_dst, adj,
+                                        train)
+            return self._finalize(out, N, H, C)
+
         senders, receivers = graph.senders, graph.receivers
         if self.add_self_loops:
             loop = jnp.arange(N, dtype=senders.dtype)
@@ -58,8 +103,15 @@ class GATConv(nn.Module):
         logits = (jnp.take(alpha_src, senders, axis=0)
                   + jnp.take(alpha_dst, receivers, axis=0))   # (E', H)
         logits = jax.nn.leaky_relu(logits, self.negative_slope)
-        # No edge mask needed: padding edges point at the padding node,
-        # so they normalise within the padding segment only.
+        # No padding-edge mask needed: padding edges point at the padding
+        # node, so they normalise within the padding segment only.  But
+        # PyG 1.4 GATConv does remove_self_loops THEN add_self_loops, so
+        # pre-existing self edges must not get a second softmax slot:
+        # mask the originals to -inf (exp -> 0) instead of compacting.
+        if self.add_self_loops:
+            E0 = graph.senders.shape[0]
+            dup = (senders == receivers).at[E0:].set(False)
+            logits = jnp.where(dup[:, None], -1e9, logits)
         E2 = senders.shape[0]
         if self.dropout > 0 and train:
             # dropout applies to the *normalised* alpha (PyG semantics),
@@ -88,6 +140,39 @@ class GATConv(nn.Module):
             denom = jnp.maximum(summed[:, H * C:], 1e-16)
             out = summed[:, : H * C].reshape(N, H, C) / denom[..., None]
 
+        return self._finalize(out, N, H, C)
+
+    def _dense_attention(self, h, alpha_src, alpha_dst, adj, train):
+        """(H, N, N) masked row-softmax + one batched matmul on the MXU.
+
+        Head-major layout keeps the big tensor's trailing two dims the
+        (N, N) plane — (N, N, H) with H=8 would waste 16x in (8, 128)
+        tile padding.  The whole N^2 chain runs in bf16: this path is
+        HBM-bound (each materialised (H, N, N) tensor is a full pass),
+        so halving the element size halves the epoch.  Row sums over
+        ~N bf16 terms cost ~0.5% relative error — attention weights
+        don't need more (parity test tolerance 2e-2).
+        """
+        logits = (alpha_dst.T[:, :, None].astype(jnp.bfloat16)
+                  + alpha_src.T[:, None, :].astype(jnp.bfloat16))
+        logits = jax.nn.leaky_relu(logits, self.negative_slope)
+        # -1e4 underflows exp() while staying far from bf16 limits
+        logits = jnp.where(adj[None], logits, -1e4)       # (H, N, N)
+        alpha = jax.nn.softmax(logits, axis=-1)
+        if self.dropout > 0 and train:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout,
+                                        alpha.shape)
+            alpha = jnp.where(keep,
+                              alpha / jnp.bfloat16(1.0 - self.dropout),
+                              jnp.bfloat16(0.0))
+        out = jnp.einsum(
+            "hij,hjc->hic", alpha,
+            h.astype(jnp.bfloat16).transpose(1, 0, 2),
+            preferred_element_type=jnp.float32)           # (H, N, C)
+        return out.transpose(1, 0, 2)                     # (N, H, C)
+
+    def _finalize(self, out, N, H, C):
         if self.concat:
             out = out.reshape(N, H * C)
             bias_shape = (H * C,)
