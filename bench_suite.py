@@ -39,16 +39,29 @@ def bench_rgcn(epochs: int = 200):
     ds = Entities("datasets_cache_fullmutag", "MUTAG", scale=1.0)
     data = ds[0]
     graph = from_data(data)
-    et = graph.extras["edge_type"]
-    train_idx = jnp.asarray(data.train_idx)
     y = graph.y
 
-    from pytorch_geometric_tpu.nn.conv.rgcn_conv import rgcn_norm
-    norm = rgcn_norm(graph, et, 46)
+    # exact dead-computation elimination: train only on the 2-layer
+    # receptive field of the labelled entities (identical gradients —
+    # tests/test_closure.py; MUTAG: 142k -> 13.3k + 2.0k edges)
+    import numpy as np
+    from pytorch_geometric_tpu.data.closure import (
+        layered_training_closure)
+    from pytorch_geometric_tpu.nn.conv.rgcn_conv import (
+        rgcn_closure_norm)
+    train_idx = np.asarray(data.train_idx)
+    layers = layered_training_closure(
+        np.asarray(data.edge_index), train_idx, 2,
+        num_nodes=graph.num_nodes,
+        edge_type=np.asarray(data.edge_type))
+    norms = [rgcn_closure_norm(cl, 46) for cl in layers]
+    lab = jnp.asarray(np.asarray(y)[train_idx]).astype(jnp.int32)
+    n_train = train_idx.shape[0]
 
     model = Net(num_nodes=graph.num_nodes, num_relations=46,
                 num_classes=2)
-    params = model.init(jax.random.PRNGKey(0), graph, et, norm)
+    params = model.init(jax.random.PRNGKey(0), None, None, None,
+                        closure=layers, norms=norms)
     tx = optax.adam(0.01)
     opt = tx.init(params)
 
@@ -56,12 +69,11 @@ def bench_rgcn(epochs: int = 200):
         params, opt = carry
 
         def loss_fn(p):
-            logits = model.apply(p, graph, et, norm)
-            logp = jax.nn.log_softmax(logits)
-            sel = jnp.take(logp, train_idx, axis=0)
-            lab = jnp.take(y, train_idx).astype(jnp.int32)
+            logits = model.apply(p, None, None, None,
+                                 closure=layers, norms=norms)
+            logp = jax.nn.log_softmax(logits[:n_train])
             return -jnp.mean(
-                jnp.take_along_axis(sel, lab[:, None], axis=1))
+                jnp.take_along_axis(logp, lab[:, None], axis=1))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx.update(grads, opt, params)
@@ -112,10 +124,12 @@ def bench_citation(dataset: str, model_name: str, epochs: int = 200):
 
     if model_name == "gcn":
         model = GCN(hidden_channels=16, num_classes=C)
-        # dense bf16 path for small padded graphs (N^2 memory)
+        # dense bf16 path for small padded graphs (N^2 memory);
+        # training-closure path past that (exact receptive-field
+        # pruning of the epoch — tests/test_closure.py)
         dense = graph.num_nodes <= 8192
-        init_fn, epoch_step, _ = create_gcn_train_step(model, graph,
-                                                       dense=dense)
+        init_fn, epoch_step, _ = create_gcn_train_step(
+            model, graph, dense=dense, closure=not dense)
         key = jax.random.PRNGKey(0)
         params, opt_state = init_fn(key)
 
@@ -127,29 +141,49 @@ def bench_citation(dataset: str, model_name: str, epochs: int = 200):
 
         elapsed = _time(run, params, opt_state, key)
     else:
+        import numpy as np
+
         from examples.gat import GAT
         from pytorch_geometric_tpu.nn.conv import gat_dense_adj
         from pytorch_geometric_tpu.ops.flash_gat import FlashGatOperator
         model = GAT(num_classes=C)
-        # fused flash-GAT Pallas path below the N^2-mask memory limit
-        flash_op = (FlashGatOperator(gat_dense_adj(graph))
-                    if graph.num_nodes <= 32768 else None)
+        # fused flash-GAT Pallas path below the N^2-mask memory limit;
+        # training-closure sparse path past it (exact receptive-field
+        # pruning — tests/test_closure.py)
+        flash_op = closure = None
+        x_in, yv, tmask = graph.x, graph.y, graph.train_mask
+        if graph.num_nodes <= 8192:
+            flash_op = FlashGatOperator(gat_dense_adj(graph))
+        else:
+            from pytorch_geometric_tpu.data.closure import (
+                layered_training_closure)
+            emask = np.asarray(graph.real_edge_mask())
+            ei = np.stack([np.asarray(graph.senders)[emask],
+                           np.asarray(graph.receivers)[emask]])
+            seeds = np.flatnonzero(np.asarray(graph.train_mask))
+            closure = layered_training_closure(
+                ei, seeds, 2, num_nodes=graph.num_nodes)
+            x_in = jnp.take(graph.x, closure[0].in_global, axis=0)
+            yv = jnp.asarray(np.asarray(graph.y)[seeds])
+            tmask = jnp.ones(seeds.shape[0], bool)
         key = jax.random.PRNGKey(0)
         params = model.init({"params": key, "dropout": key}, graph,
-                            graph.x, flash_op=flash_op)
+                            x_in, flash_op=flash_op, closure=closure)
         tx = optax.adamw(5e-3, weight_decay=5e-4)
         opt = tx.init(params)
+        n_seed = None if closure is None else int(tmask.shape[0])
 
         def epoch_step(carry, _):
             params, opt, key = carry
             key, sub = jax.random.split(key)
 
             def loss_fn(p):
-                logits = model.apply(p, graph, graph.x, train=True,
-                                     flash_op=flash_op,
+                logits = model.apply(p, graph, x_in, train=True,
+                                     flash_op=flash_op, closure=closure,
                                      rngs={"dropout": sub})
-                return masked_softmax_xent(logits, graph.y,
-                                           graph.train_mask)
+                if n_seed is not None:
+                    logits = logits[:n_seed]
+                return masked_softmax_xent(logits, yv, tmask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt = tx.update(grads, opt, params)

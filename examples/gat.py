@@ -27,18 +27,20 @@ class GAT(nn.Module):
 
     @nn.compact
     def __call__(self, graph, x, *, train: bool = False, adj=None,
-                 flash_op=None):
+                 flash_op=None, closure=None):
+        cl1, cl2 = closure if closure is not None else (None, None)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = GATConv(self.hidden, heads=self.heads, dropout=self.dropout,
                     name="conv1")(graph, x, train=train, adj=adj,
-                                  flash_op=flash_op)
+                                  flash_op=flash_op, closure=cl1)
         x = nn.elu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = GATConv(self.num_classes, heads=1, concat=False,
                     dropout=self.dropout, name="conv2")(graph, x,
                                                         train=train,
                                                         adj=adj,
-                                                        flash_op=flash_op)
+                                                        flash_op=flash_op,
+                                                        closure=cl2)
         return x
 
 

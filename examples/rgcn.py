@@ -20,7 +20,18 @@ class Net(nn.Module):
     num_classes: int
 
     @nn.compact
-    def __call__(self, graph, edge_type, norm=None):
+    def __call__(self, graph, edge_type, norm=None, closure=None,
+                 norms=None):
+        if closure is not None:
+            # layered training-closure mode (data/closure.py): each
+            # conv maps its layer's input node set to its output set
+            x = RGCNConv(self.num_nodes, 16, self.num_relations,
+                         num_bases=30, name="conv1")(
+                None, None, None, norm=norms[0], closure=closure[0])
+            x = nn.relu(x)
+            return RGCNConv(16, self.num_classes, self.num_relations,
+                            num_bases=30, name="conv2")(
+                None, x, None, norm=norms[1], closure=closure[1])
         x = RGCNConv(self.num_nodes, 16, self.num_relations,
                      num_bases=30, name="conv1")(graph, None, edge_type,
                                                  norm=norm)

@@ -32,7 +32,20 @@ class GCN(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, x, norm=None, *, train: bool = False,
-                 norm_dense=None, aggregate_fn=None):
+                 norm_dense=None, aggregate_fn=None, closure=None,
+                 closure_norms=None):
+        if closure is not None:
+            # layered training-closure mode: x holds features for the
+            # first layer's input nodes only (data/closure.py)
+            x = nn.Dropout(self.dropout_rate,
+                           deterministic=not train)(x)
+            x = GCNConv(self.hidden_channels, name="conv1")(
+                None, x, norm=closure_norms[0], closure=closure[0])
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate,
+                           deterministic=not train)(x)
+            return GCNConv(self.num_classes, name="conv2")(
+                None, x, norm=closure_norms[1], closure=closure[1])
         if norm is None and norm_dense is None and aggregate_fn is None:
             norm = gcn_norm(graph)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -64,7 +77,7 @@ def create_gcn_train_step(model: GCN, graph: Graph, weight_decay=5e-4,
                           lr=0.01, dense: bool = False,
                           dense_dtype=jnp.bfloat16,
                           pallas: bool = False, window: int = 512,
-                          tile: int = 512):
+                          tile: int = 512, closure: bool = False):
     """Build (init_fn, epoch_step, eval_fn) closures over a static graph.
 
     ``epoch_step`` is scan-compatible: carry = (params, opt_state, key).
@@ -79,6 +92,9 @@ def create_gcn_train_step(model: GCN, graph: Graph, weight_decay=5e-4,
     """
     from pytorch_geometric_tpu.nn.conv.gcn_conv import gcn_norm_dense
 
+    if closure:
+        return _create_gcn_closure_train_step(model, graph,
+                                              weight_decay, lr)
     aggregate_fn = None
     norm_dense = None
     norm = None
@@ -136,6 +152,77 @@ def create_gcn_train_step(model: GCN, graph: Graph, weight_decay=5e-4,
             "train_acc": masked_accuracy(logits, graph.y, graph.train_mask),
             "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),
             "test_acc": masked_accuracy(logits, graph.y, graph.test_mask),
+        }
+
+    return init_fn, epoch_step, eval_fn
+
+
+def _create_gcn_closure_train_step(model: GCN, graph: Graph,
+                                   weight_decay=5e-4, lr=0.01):
+    """Training-closure variant: per-epoch work is the 2-layer
+    receptive field of the labelled nodes (gradient-identical to
+    full-graph training up to dropout RNG — data/closure.py), which is
+    ~100x fewer edges on Planetoid splits.  Eval stays full-graph.
+    """
+    import numpy as np
+
+    from pytorch_geometric_tpu.data.closure import (
+        layered_training_closure)
+    from pytorch_geometric_tpu.nn.conv.gcn_conv import gcn_closure_norm
+
+    emask = np.asarray(graph.real_edge_mask())
+    ei = np.stack([np.asarray(graph.senders)[emask],
+                   np.asarray(graph.receivers)[emask]])
+    seeds = np.flatnonzero(np.asarray(graph.train_mask))
+    layers = layered_training_closure(ei, seeds, 2,
+                                      num_nodes=graph.num_nodes)
+    closure_norms = gcn_closure_norm(ei, graph.num_nodes, layers)
+    x0 = jnp.take(graph.x, layers[0].in_global, axis=0)
+    labels = jnp.asarray(np.asarray(graph.y)[seeds])
+    n_train = seeds.shape[0]
+    tx = optax.adam(lr)
+
+    def init_fn(key):
+        params = model.init({"params": key}, None, x0,
+                            closure=layers, closure_norms=closure_norms)
+        return params, tx.init(params)
+
+    def loss_fn(params, key):
+        logits = model.apply(params, None, x0, train=True,
+                             closure=layers,
+                             closure_norms=closure_norms,
+                             rngs={"dropout": key})[:n_train]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(
+            logp, labels[:, None], axis=-1))
+        wd = sum(jnp.sum(p ** 2) for p in
+                 jax.tree_util.tree_leaves(params["params"]["conv1"]))
+        return loss + weight_decay * wd, logits
+
+    def epoch_step(carry, _):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, sub)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "train_acc": jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32)),
+        }
+        return (params, opt_state, key), metrics
+
+    norm = gcn_norm(graph)
+
+    def eval_fn(params):
+        logits = model.apply(params, graph, graph.x, norm, train=False)
+        return {
+            "train_acc": masked_accuracy(logits, graph.y,
+                                         graph.train_mask),
+            "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),
+            "test_acc": masked_accuracy(logits, graph.y,
+                                        graph.test_mask),
         }
 
     return init_fn, epoch_step, eval_fn

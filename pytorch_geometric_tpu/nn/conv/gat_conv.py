@@ -61,8 +61,11 @@ class GATConv(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, x, *, train: bool = False,
-                 adj: Optional[jnp.ndarray] = None, flash_op=None):
+                 adj: Optional[jnp.ndarray] = None, flash_op=None,
+                 closure=None):
         H, C = self.heads, self.out_channels
+        if closure is not None:
+            return self._closure_call(closure, x, train)
         N = graph.num_nodes
 
         weight = self.param("weight", glorot, (x.shape[-1], H * C))
@@ -141,6 +144,52 @@ class GATConv(nn.Module):
             out = summed[:, : H * C].reshape(N, H, C) / denom[..., None]
 
         return self._finalize(out, N, H, C)
+
+    def _closure_call(self, cl, x, train):
+        """Bipartite/closure mode (data/closure.py): attention over the
+        seeds' receptive field only.  Correct because segment-softmax
+        normalises over each receiver's in-edges and the closure keeps
+        *all* in-edges of every output node; self-loops are appended
+        per output node via ``self_idx``, matching PyG's
+        remove-then-add semantics (existing self edges are masked).
+        """
+        H, C = self.heads, self.out_channels
+        n_in, n_out = cl.n_in, cl.n_out
+
+        weight = self.param("weight", glorot, (x.shape[-1], H * C))
+        h = jnp.dot(x, weight,
+                    preferred_element_type=jnp.float32).reshape(
+                        n_in, H, C)
+        att_src = self.param("att_src", glorot, (1, H, C))
+        att_dst = self.param("att_dst", glorot, (1, H, C))
+        alpha_src = jnp.sum(h * att_src, axis=-1)          # (n_in, H)
+        alpha_dst = jnp.sum(h * att_dst, axis=-1)
+
+        senders = jnp.concatenate([cl.senders, cl.self_idx])
+        receivers = jnp.concatenate(
+            [cl.receivers, jnp.arange(n_out, dtype=cl.receivers.dtype)])
+        logits = (jnp.take(alpha_src, senders, axis=0)
+                  + jnp.take(alpha_dst, receivers, axis=0))
+        logits = jax.nn.leaky_relu(logits, self.negative_slope)
+        if self.add_self_loops:
+            # mask pre-existing self edges (their appended copy is the
+            # one softmax slot PyG keeps) and padding edges
+            dup = (cl.sender_global
+                   == jnp.take(cl.out_global, cl.receivers))
+            dup = dup | ~cl.edge_mask
+            dup = jnp.concatenate(
+                [dup, jnp.zeros(n_out, dtype=bool)])
+            logits = jnp.where(dup[:, None], -1e9, logits)
+
+        alpha = segment_softmax(logits, receivers, n_out)
+        if self.dropout > 0 and train:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout,
+                                        alpha.shape)
+            alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0.0)
+        msgs = jnp.take(h, senders, axis=0) * alpha[..., None]
+        out = segment_sum(msgs, receivers, n_out)          # (n_out,H,C)
+        return self._finalize(out, n_out, H, C)
 
     def _dense_attention(self, h, alpha_src, alpha_dst, adj, train):
         """(H, N, N) masked row-softmax + one batched matmul on the MXU.

@@ -69,6 +69,35 @@ def gcn_norm(graph: Graph, edge_weight=None, improved: bool = False,
     return EdgeNorm(senders=senders, receivers=receivers, weights=norm)
 
 
+def gcn_closure_norm(edge_index, num_nodes: int, layers,
+                     improved: bool = False):
+    """Per-layer (w_edge, w_self) for closure-mode GCNConv.
+
+    Degrees come from the FULL graph (a closure only keeps all
+    in-edges of *needed* receivers, so sender degrees cannot be
+    recovered from the closure itself).  Host-side numpy; static.
+    """
+    import numpy as np
+
+    fill = 2.0 if improved else 1.0
+    ei = np.asarray(edge_index)
+    deg = np.bincount(ei[1], minlength=num_nodes).astype(np.float64)
+    deg = deg + fill
+    dis = deg ** -0.5
+    norms = []
+    for cl in layers:
+        sg = np.asarray(cl.sender_global)
+        rg = np.asarray(cl.out_global)[np.asarray(cl.receivers)]
+        m = np.asarray(cl.edge_mask)
+        w_edge = np.where(m, dis[sg] * dis[rg], 0.0)
+        og = np.asarray(cl.out_global)
+        w_self = fill / deg[og]
+        w_self[cl.num_real_out:] = 0.0
+        norms.append((jnp.asarray(w_edge, jnp.float32),
+                      jnp.asarray(w_self, jnp.float32)))
+    return norms
+
+
 class GCNConv(nn.Module):
     out_channels: int
     improved: bool = False
@@ -77,10 +106,25 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, x, edge_weight=None,
                  norm: Optional[EdgeNorm] = None, spmm_op=None,
-                 norm_dense=None, aggregate_fn=None):
+                 norm_dense=None, aggregate_fn=None, closure=None):
         weight = self.param("weight", glorot, (x.shape[-1],
                                                self.out_channels))
         h = jnp.dot(x, weight, preferred_element_type=jnp.float32)
+        if closure is not None:
+            # bipartite/closure mode (data/closure.py): norm is the
+            # (w_edge, w_self) pair from gcn_closure_norm — weights use
+            # FULL-graph degrees, so results equal the full-graph conv
+            # restricted to the closure's output nodes
+            w_edge, w_self = norm
+            msgs = jnp.take(h, closure.senders, axis=0) \
+                * w_edge[:, None]
+            out = segment_sum(msgs, closure.receivers, closure.n_out)
+            out = out + w_self[:, None] \
+                * jnp.take(h, closure.self_idx, axis=0)
+            if self.use_bias:
+                out = out + self.param("bias", zeros,
+                                       (self.out_channels,))
+            return out
         if aggregate_fn is not None:
             # fully custom aggregation (e.g. a pre-packed Pallas SpMM
             # closure with the static normalised weights baked in)

@@ -50,7 +50,10 @@ class RGCNConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, graph: Graph, x=None, edge_type=None, norm=None):
+    def __call__(self, graph: Graph, x=None, edge_type=None, norm=None,
+                 closure=None):
+        if closure is not None:
+            return self._closure_call(closure, x, norm)
         N, C, R = graph.num_nodes, self.out_channels, self.num_relations
         et = (edge_type if edge_type is not None
               else graph.edge_type).astype(jnp.int32)
@@ -106,3 +109,73 @@ class RGCNConv(nn.Module):
         if self.use_bias:
             out = out + self.param("bias", zeros, (C,))
         return out
+
+    def _closure_call(self, cl, x, norm):
+        """Bipartite/closure mode: features on ``cl.n_in`` input nodes
+        -> ``cl.n_out`` output nodes, identical math to the full-graph
+        path restricted to the seeds' receptive field
+        (data/closure.py).  ``norm`` comes from ``rgcn_closure_norm``.
+        """
+        C, R = self.out_channels, self.num_relations
+        F_in = self.in_channels if x is None else x.shape[-1]
+        B = self.num_bases if self.num_bases > 0 else R
+        basis = self.param("basis", glorot, (B, F_in, C))
+        att = self.param("att", glorot, (R, B)) if self.num_bases > 0 \
+            else None
+        W = (jnp.einsum("rb,bfc->rfc", att, basis)
+             if att is not None else basis)
+
+        et = cl.edge_type
+        w_edge = (norm if norm is not None
+                  else rgcn_closure_norm(cl, R))
+        n_out = cl.n_out
+
+        if x is None:
+            # embedding mode: rows are GLOBAL sender ids (the embedding
+            # table is indexed by original node id)
+            rows = jnp.clip(cl.sender_global, 0, F_in - 1)
+            table = W.reshape(R * F_in, C)
+            msgs = jnp.take(table, et * F_in + rows, axis=0)
+            out = segment_sum(msgs * w_edge[:, None], cl.receivers,
+                              n_out)
+        elif C < F_in:
+            H = jnp.einsum("nf,rfc->nrc", x, W,
+                           preferred_element_type=jnp.float32)
+            msgs = jnp.take(H.reshape(cl.n_in * R, C),
+                            cl.senders * R + et, axis=0)
+            out = segment_sum(msgs * w_edge[:, None], cl.receivers,
+                              n_out)
+        else:
+            fused_rr = cl.receivers * R + et
+            x_j = jnp.take(x, cl.senders, axis=0) * w_edge[:, None]
+            agg = segment_sum(x_j, fused_rr, n_out * R)
+            out = jnp.einsum("nrf,rfc->nc", agg.reshape(n_out, R, F_in),
+                             W, preferred_element_type=jnp.float32)
+
+        if self.root_weight:
+            w_root = self.param("root", glorot, (F_in, C))
+            if x is None:
+                root = jnp.take(
+                    w_root,
+                    jnp.clip(cl.out_global, 0, F_in - 1), axis=0)
+            else:
+                x_out = jnp.take(x, cl.self_idx, axis=0)
+                root = jnp.dot(x_out, w_root,
+                               preferred_element_type=jnp.float32)
+            out = out + root
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (C,))
+        return out
+
+
+def rgcn_closure_norm(cl, num_relations: int):
+    """Per-edge 1/|N_r(i)| weights for a ClosureLayer (static; compute
+    once and pass as ``norm``).  Matches full-graph ``rgcn_norm`` on
+    the closure's receivers because the closure keeps *all* in-edges
+    of every needed node."""
+    R = num_relations
+    fused = cl.receivers * R + cl.edge_type
+    m = cl.edge_mask.astype(jnp.float32)
+    cnt = segment_sum(m, fused, cl.n_out * R)
+    inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+    return jnp.take(inv, fused) * m
