@@ -75,9 +75,22 @@ class FAUST(_OfflineSynthetic):
                 out.append(Data(pos=pos, face=face,
                                 y=np.arange(n, dtype=np.int64)))
             return out
-        raise NotImplementedError(
-            "real FAUST requires registration-gated download; place "
-            "MPI-FAUST.zip under raw/ and convert offline")
+        # real MPI-FAUST.zip: 100 PLY registrations, first 80 train /
+        # last 20 test (PyG split), target = vertex id
+        from pytorch_geometric_tpu.datasets.io import (
+            iter_zip_members,
+            read_ply,
+        )
+        plys = [(n, b) for n, b in
+                iter_zip_members(self.raw_paths[0], ".ply")
+                if "registrations" in n and "tr_reg_" in n]
+        plys = plys[:80] if self.train else plys[80:100]
+        out = []
+        for _, blob in plys:
+            pos, face = read_ply(blob)
+            out.append(Data(pos=pos, face=face,
+                            y=np.arange(pos.shape[0], dtype=np.int64)))
+        return out
 
 
 class ModelNet(_OfflineSynthetic):
@@ -115,5 +128,22 @@ class ModelNet(_OfflineSynthetic):
                     p = pos * scale.astype(np.float32)
                     out.append(Data(pos=p, face=face, y=np.int64(y)))
             return out
-        raise NotImplementedError(
-            "real ModelNet parsing: place OFF archives under raw/")
+        # real ModelNet{10,40}.zip: <class>/<train|test>/*.off
+        from pytorch_geometric_tpu.datasets.io import (
+            iter_zip_members,
+            read_off,
+        )
+        split = "train" if self.train else "test"
+        classes = sorted({m.split("/")[-3]
+                          for m, _ in iter_zip_members(
+                              self.raw_paths[0], ".off")
+                          if f"/{split}/" in m})
+        cls_idx = {c: i for i, c in enumerate(classes)}
+        out = []
+        for name, blob in iter_zip_members(self.raw_paths[0], ".off"):
+            if f"/{split}/" not in name:
+                continue
+            pos, face = read_off(blob.decode("ascii", errors="ignore"))
+            out.append(Data(pos=pos, face=face,
+                            y=np.int64(cls_idx[name.split("/")[-3]])))
+        return out

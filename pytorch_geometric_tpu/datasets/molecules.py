@@ -182,6 +182,20 @@ class MNISTSuperpixels(_OfflineSynthetic):
                 out.append(Data(x=x, edge_index=np.stack([s, r]), pos=pos,
                                 y=np.int64(y)))
             return out
-        raise NotImplementedError(
-            "real MNISTSuperpixels .pt parsing requires torch; convert to "
-            "npz offline")
+        # real PyG raw file: torch-saved (x, edge_index, edge_slice,
+        # pos, y) with 75 nodes per graph (PyG 1.x MNISTSuperpixels)
+        from pytorch_geometric_tpu.datasets.io import load_torch_tuple
+        x, edge_index, edge_slice, pos, y = load_torch_tuple(
+            self.raw_paths[0])
+        m, n = int(y.shape[0]), 75
+        x = x.reshape(m, n, -1).astype(np.float32)
+        pos = pos.reshape(m, n, 2).astype(np.float32)
+        out = []
+        for i in range(m):
+            lo, hi = int(edge_slice[i]), int(edge_slice[i + 1])
+            ei = edge_index[:, lo:hi].astype(np.int64)
+            if ei.size and ei.min() >= n * i:
+                ei = ei - n * i     # global-index convention raw files
+            out.append(Data(x=x[i], edge_index=ei, pos=pos[i],
+                            y=np.int64(y[i])))
+        return out

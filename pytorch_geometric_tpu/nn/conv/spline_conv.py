@@ -29,30 +29,52 @@ from pytorch_geometric_tpu.ops.segment import segment_sum
 from pytorch_geometric_tpu.utils.repeat import repeat
 
 
-def spline_basis(pseudo, kernel_size, is_open_spline, degree: int = 1):
-    """Degree-1 B-spline basis.
+def _bspline_blend(frac, k: int, degree: int):
+    """Uniform B-spline blending function for support offset ``k``.
 
-    pseudo: (E, D) in [0,1].  Returns (weights (E, 2^D), indices (E, 2^D))
-    with indices flattened into prod(kernel_size).
+    Matches torch-spline-conv's basis kernels (reference
+    requirement.txt:2): degree 1 = linear interpolation, degree 2/3 =
+    the standard quadratic/cubic uniform B-spline pieces.
     """
-    if degree != 1:
-        raise NotImplementedError("degree-1 B-splines only (the reference "
-                                  "examples all use degree=1)")
+    f = frac
+    if degree == 1:
+        return 1.0 - f if k == 0 else f
+    if degree == 2:
+        if k == 0:
+            return 0.5 * (1.0 - f) ** 2
+        if k == 1:
+            return -f * f + f + 0.5
+        return 0.5 * f * f
+    if degree == 3:
+        if k == 0:
+            return (1.0 - f) ** 3 / 6.0
+        if k == 1:
+            return (3.0 * f ** 3 - 6.0 * f * f + 4.0) / 6.0
+        if k == 2:
+            return (-3.0 * f ** 3 + 3.0 * f * f + 3.0 * f + 1.0) / 6.0
+        return f ** 3 / 6.0
+    raise NotImplementedError(f"B-spline degree {degree} (1-3 supported)")
+
+
+def spline_basis(pseudo, kernel_size, is_open_spline, degree: int = 1):
+    """Uniform B-spline basis of degree 1, 2 or 3.
+
+    pseudo: (E, D) in [0,1].  Returns (weights (E, (degree+1)^D),
+    indices (E, (degree+1)^D)) with indices flattened into
+    prod(kernel_size).  Open splines clip the top support index — its
+    blend weight is exactly 0 at pseudo == 1, so clipping is lossless.
+    """
     E, D = pseudo.shape
+    m = degree
     ks = jnp.asarray(kernel_size)
     open_ = jnp.asarray(is_open_spline)
 
-    # continuous grid position per dim
-    p = pseudo * (ks - open_.astype(ks.dtype))
+    # continuous grid position per dim (degree-m support shift)
+    p = pseudo * (ks - m * open_.astype(ks.dtype))
     k0 = jnp.floor(p).astype(jnp.int32)
     frac = p - k0
-    # supports: k0 (weight 1-frac) and k0+1 (weight frac)
-    k0c = jnp.clip(k0, 0, ks - 1)
-    k1 = k0 + 1
-    k1 = jnp.where(open_ > 0, jnp.clip(k1, 0, ks - 1), k1 % ks)
 
-    S = 2 ** D
-    combos = list(itertools.product((0, 1), repeat=D))
+    combos = list(itertools.product(range(m + 1), repeat=D))
     w_list, i_list = [], []
     # flatten multi-index with row-major strides over kernel_size
     strides = []
@@ -66,8 +88,10 @@ def spline_basis(pseudo, kernel_size, is_open_spline, degree: int = 1):
         w = jnp.ones((E,), pseudo.dtype)
         idx = jnp.zeros((E,), jnp.int32)
         for d, c in enumerate(combo):
-            wd = frac[:, d] if c else (1.0 - frac[:, d])
-            kd = k1[:, d] if c else k0c[:, d]
+            wd = _bspline_blend(frac[:, d], c, m)
+            kd = k0[:, d] + c
+            kd = jnp.where(open_[d] > 0, jnp.clip(kd, 0, ks[d] - 1),
+                           kd % ks[d])
             w = w * wd
             idx = idx + kd * strides[d]
         w_list.append(w)

@@ -79,3 +79,46 @@ def test_point_conv_set_abstraction(rng):
                      jnp.asarray(col), jnp.asarray(row), len(idx))
     assert out.shape == (len(idx), 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spline_basis_higher_degrees_partition_of_unity(rng):
+    """Degree 1-3 bases must sum to 1 per edge (B-spline partition of
+    unity), be non-negative, and stay within the kernel grid."""
+    import jax.numpy as jnp
+
+    from pytorch_geometric_tpu.nn.conv.spline_conv import spline_basis
+
+    E, D = 200, 2
+    pseudo = jnp.asarray(rng.random((E, D)).astype("float32"))
+    for degree in (1, 2, 3):
+        for open_ in ((1, 1), (0, 0)):
+            ks = (5, 6)
+            w, idx = spline_basis(pseudo, jnp.asarray(ks),
+                                  jnp.asarray(open_), degree)
+            assert w.shape == (E, (degree + 1) ** D)
+            np.testing.assert_allclose(np.asarray(w.sum(1)),
+                                       np.ones(E), rtol=1e-5)
+            assert float(w.min()) >= -1e-6
+            assert int(idx.min()) >= 0 and int(idx.max()) < 30
+
+
+def test_spline_conv_degree2_trains(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_geometric_tpu.data import Data, from_data
+    from pytorch_geometric_tpu.nn.conv.spline_conv import SplineConv
+
+    n, e = 20, 60
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    ea = rng.random((e, 2)).astype("float32")
+    g = from_data(Data(x=rng.normal(size=(n, 4)).astype("float32"),
+                       edge_index=ei, edge_attr=ea))
+    conv = SplineConv(out_channels=3, dim=2, kernel_size=4, degree=2)
+    params = conv.init(jax.random.PRNGKey(0), g, g.x)
+    out = conv.apply(params, g, g.x)
+    assert np.isfinite(np.asarray(out)).all()
+    grads = jax.grad(
+        lambda p: jnp.sum(conv.apply(p, g, g.x) ** 2))(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
