@@ -34,11 +34,12 @@ def main():
     graph = from_data(data)
 
     model = GCN(hidden_channels=16, num_classes=7)
-    # dense bf16 normalised-adjacency mode: the fast path for
-    # small padded graphs (one MXU matmul per layer; identical final
-    # accuracy — see PERF.md)
+    # training-closure path: the epoch runs on the exact 2-layer
+    # receptive field of the labelled nodes (gradient-identical to
+    # full-graph training — tests/test_closure.py); final accuracy is
+    # checked on the FULL graph below
     init_fn, epoch_step, eval_fn = create_gcn_train_step(model, graph,
-                                                         dense=True)
+                                                         closure=True)
     key = jax.random.PRNGKey(0)
     params, opt_state = init_fn(key)
 

@@ -124,12 +124,11 @@ def bench_citation(dataset: str, model_name: str, epochs: int = 200):
 
     if model_name == "gcn":
         model = GCN(hidden_channels=16, num_classes=C)
-        # dense bf16 path for small padded graphs (N^2 memory);
-        # training-closure path past that (exact receptive-field
-        # pruning of the epoch — tests/test_closure.py)
-        dense = graph.num_nodes <= 8192
+        # training-closure path: exact receptive-field pruning of the
+        # epoch (tests/test_closure.py) — beats both the dense-bf16 and
+        # sparse full-graph paths on every Planetoid split
         init_fn, epoch_step, _ = create_gcn_train_step(
-            model, graph, dense=dense, closure=not dense)
+            model, graph, closure=True)
         key = jax.random.PRNGKey(0)
         params, opt_state = init_fn(key)
 
@@ -144,28 +143,22 @@ def bench_citation(dataset: str, model_name: str, epochs: int = 200):
         import numpy as np
 
         from examples.gat import GAT
-        from pytorch_geometric_tpu.nn.conv import gat_dense_adj
-        from pytorch_geometric_tpu.ops.flash_gat import FlashGatOperator
         model = GAT(num_classes=C)
-        # fused flash-GAT Pallas path below the N^2-mask memory limit;
-        # training-closure sparse path past it (exact receptive-field
-        # pruning — tests/test_closure.py)
-        flash_op = closure = None
-        x_in, yv, tmask = graph.x, graph.y, graph.train_mask
-        if graph.num_nodes <= 8192:
-            flash_op = FlashGatOperator(gat_dense_adj(graph))
-        else:
-            from pytorch_geometric_tpu.data.closure import (
-                layered_training_closure)
-            emask = np.asarray(graph.real_edge_mask())
-            ei = np.stack([np.asarray(graph.senders)[emask],
-                           np.asarray(graph.receivers)[emask]])
-            seeds = np.flatnonzero(np.asarray(graph.train_mask))
-            closure = layered_training_closure(
-                ei, seeds, 2, num_nodes=graph.num_nodes)
-            x_in = jnp.take(graph.x, closure[0].in_global, axis=0)
-            yv = jnp.asarray(np.asarray(graph.y)[seeds])
-            tmask = jnp.ones(seeds.shape[0], bool)
+        # training-closure sparse path (exact receptive-field pruning —
+        # tests/test_closure.py); beats the flash-GAT kernel on every
+        # Planetoid split because only ~100 nodes carry loss
+        flash_op = None
+        from pytorch_geometric_tpu.data.closure import (
+            layered_training_closure)
+        emask = np.asarray(graph.real_edge_mask())
+        ei = np.stack([np.asarray(graph.senders)[emask],
+                       np.asarray(graph.receivers)[emask]])
+        seeds = np.flatnonzero(np.asarray(graph.train_mask))
+        closure = layered_training_closure(
+            ei, seeds, 2, num_nodes=graph.num_nodes)
+        x_in = jnp.take(graph.x, closure[0].in_global, axis=0)
+        yv = jnp.asarray(np.asarray(graph.y)[seeds])
+        tmask = jnp.ones(seeds.shape[0], bool)
         key = jax.random.PRNGKey(0)
         params = model.init({"params": key, "dropout": key}, graph,
                             x_in, flash_op=flash_op, closure=closure)
