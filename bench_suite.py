@@ -96,15 +96,43 @@ def bench_rgcn(epochs: int = 200):
     return elapsed
 
 
+_RPC_FLOOR = None
+
+
+def _rpc_floor():
+    """Host<->device roundtrip latency of this backend (the remote
+    'axon' tunnel adds ~20-25 ms per host-forced result; subtract it
+    so timings reflect device work)."""
+    global _RPC_FLOOR
+    if _RPC_FLOOR is None:
+        tiny = jax.jit(lambda i: i + 1.0)
+        float(tiny(0.0))
+        t0 = time.perf_counter()
+        for i in range(10):
+            float(tiny(float(i)))
+        _RPC_FLOOR = (time.perf_counter() - t0) / 10
+    return _RPC_FLOOR
+
+
+def _force(out):
+    """Pull a scalar from the result to the host.  On the remote
+    backend ``block_until_ready`` can return before execution
+    completes (measured: an 8k^3 matmul 'finishing' in 0.07 ms);
+    transferring a value is the only reliable completion barrier."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    assert leaf.size == 1, "bench functions must return scalars"
+    return float(leaf)
+
+
 def _time(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
+    rpc = _rpc_floor()
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return max(best - rpc, 1e-9)
 
 
 def bench_citation(dataset: str, model_name: str, epochs: int = 200):
@@ -227,10 +255,20 @@ def bench_spmm(n=100_000, e=2_000_000, f=128, communities=100):
     sj, rj = jnp.asarray(senders, jnp.int32), jnp.asarray(receivers,
                                                           jnp.int32)
     wj, xj = jnp.asarray(w), jnp.asarray(x)
+    K = 10  # amortise per-op time inside one program (_force barrier)
 
-    xla = jax.jit(lambda w_, x_: spmm(sj, rj, x_, n, weights=w_,
-                                      indices_are_sorted=True))
-    t_xla = _time(xla, wj, xj)
+    def loop(body):
+        def run(w_, x_):
+            def step(acc, i):
+                return acc + body(w_, x_ * (1.0 + 1e-9 * i)), None
+            out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                                  jnp.arange(K, dtype=jnp.float32))
+            return out
+        return jax.jit(run)
+
+    xla = loop(lambda w_, x_: jnp.sum(
+        spmm(sj, rj, x_, n, weights=w_, indices_are_sorted=True)))
+    t_xla = _time(xla, wj, xj) / K
     print(json.dumps({
         "metric": "spmm_xla_edges_per_s",
         "value": round(e / t_xla / 1e9, 4), "unit": "Gedge/s",
@@ -241,8 +279,8 @@ def bench_spmm(n=100_000, e=2_000_000, f=128, communities=100):
     op = SpmmOperator(senders, receivers, n, window=512, tile=512,
                       compute_dtype=jnp.bfloat16)
     wp = op.pack_weights(wj)
-    pallas = jax.jit(lambda wp_, x_: op.apply_packed(wp_, x_))
-    t_p = _time(pallas, wp, xj)
+    pallas = loop(lambda wp_, x_: jnp.sum(op.apply_packed(wp_, x_)))
+    t_p = _time(pallas, wp, xj) / K
     print(json.dumps({
         "metric": "spmm_pallas_packed_edges_per_s",
         "value": round(e / t_p / 1e9, 4), "unit": "Gedge/s",
@@ -251,6 +289,105 @@ def bench_spmm(n=100_000, e=2_000_000, f=128, communities=100):
                    "flop_inflation": round(op.fwd.flop_inflation, 2),
                    "note": "static (pre-packed) edge weights"},
     }))
+
+
+def bench_roofline(n=100_000, e=2_000_000, f=128, communities=100):
+    """Honest roofline accounting for the SpMM north star.
+
+    SpMM over a sparse graph is *random-row-access* bound, not
+    streaming-bandwidth bound: every edge needs one row of x from an
+    arbitrary HBM address.  The honest ceiling is therefore the
+    machine's best random row-copy rate (out[i] = x[perm[i]] — a pure
+    gather with no compute, no scatter), measured here alongside the
+    streaming copy bandwidth for context.  The north-star ratio is
+    spmm_edges_per_s / random_row_copy_rows_per_s: SpMM does strictly
+    more work per edge (gather + scale + scatter-accumulate).
+    """
+    rng = np.random.default_rng(0)
+    K = 10
+
+    def loop(body):
+        def run(*args):
+            def step(acc, i):
+                return acc + body(i, *args), None
+            out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                                  jnp.arange(K, dtype=jnp.int32))
+            return out
+        return jax.jit(run)
+
+    # 1. streaming bandwidth: big-array read (+ scalar reduce).
+    # maximum(a, i) is not algebraically factorable out of the scan
+    # (sum(a * c_i) would be simplified to one pass by XLA)
+    big = jnp.asarray(rng.normal(size=(8192, 8192)).astype(np.float32))
+    read = loop(lambda i, a: jnp.sum(
+        jnp.maximum(a, -1e9 + i.astype(jnp.float32))))
+    t_copy = _time(read, big) / K
+    stream_gbs = big.size * 4 / t_copy / 1e9
+    print(json.dumps({
+        "metric": "hbm_streaming_read", "value": round(stream_gbs, 1),
+        "unit": "GB/s", "vs_baseline": None}))
+
+    # 2. random row-copy ceiling (the honest SpMM denominator)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    perm = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    gather = loop(lambda i, idx, x_: jnp.sum(
+        jnp.take(x_, (idx + i) % n, axis=0)))  # i shifts defeat caching
+    t_g = _time(gather, perm, x) / K
+    rows_per_s = e / t_g
+    print(json.dumps({
+        "metric": "random_row_copy", "value": round(rows_per_s / 1e9, 4),
+        "unit": "Grow/s",
+        "vs_baseline": None,
+        "detail": {"ms": round(t_g * 1e3, 2),
+                   "eff_gbs": round(rows_per_s * f * 4 * 2 / 1e9, 1),
+                   "ns_per_row": round(1e9 / rows_per_s, 2)}}))
+
+    # 3. best SpMM vs the ceiling
+    from pytorch_geometric_tpu.ops.spmm import SpmmOperator
+    comm = rng.integers(0, communities, n)
+    pos_of = np.empty(n, dtype=np.int64)
+    pos_of[np.argsort(comm, kind="stable")] = np.arange(n)
+    starts = np.searchsorted(np.sort(comm), np.arange(communities))
+    counts = np.bincount(comm, minlength=communities)
+    src = rng.integers(0, n, e)
+    intra = rng.random(e) < 0.9
+    c = comm[src]
+    dst = np.where(intra,
+                   starts[c] + (rng.random(e) * counts[c]).astype(
+                       np.int64),
+                   rng.integers(0, n, e))
+    senders, receivers = pos_of[src], dst
+    order = np.argsort(receivers, kind="stable")
+    senders, receivers = senders[order], receivers[order]
+    w = jnp.asarray(rng.normal(size=e).astype(np.float32))
+    op = SpmmOperator(senders, receivers, n, window=512, tile=512,
+                      compute_dtype=jnp.bfloat16)
+    wp = op.pack_weights(w)
+    spmm_packed = loop(lambda i, wp_, x_: jnp.sum(
+        op.apply_packed(wp_, x_ * (1.0 + 1e-9 * i.astype(jnp.float32)))))
+    t_s = _time(spmm_packed, wp, x) / K
+    edges_per_s = e / t_s
+
+    from pytorch_geometric_tpu.ops.hybrid_spmm import HybridSpmm
+    hyb = HybridSpmm(senders, receivers, n, window=1024, tile=512)
+    spmm_h = loop(lambda i, w_, x_: jnp.sum(
+        hyb(w_, x_ * (1.0 + 1e-9 * i.astype(jnp.float32)))))
+    t_h = _time(spmm_h, w, x) / K
+    if t_h < t_s:
+        edges_per_s = e / t_h
+    print(json.dumps({
+        "metric": "spmm_hybrid_edges_per_s",
+        "value": round(e / t_h / 1e9, 4), "unit": "Gedge/s",
+        "vs_baseline": None,
+        "detail": {"ms": round(t_h * 1e3, 3)}}))
+    print(json.dumps({
+        "metric": "spmm_vs_random_access_roofline",
+        "value": round(edges_per_s / rows_per_s, 3),
+        "unit": "fraction",
+        "vs_baseline": None,
+        "detail": {"spmm_Gedge_s": round(edges_per_s / 1e9, 4),
+                   "ceiling_Grow_s": round(rows_per_s / 1e9, 4),
+                   "target": ">= 0.8 (north star)"}}))
 
 
 def main():
