@@ -4,8 +4,21 @@ dense_diff_pool's input format, examples/enzymes_diff_pool.py)."""
 import jax.numpy as jnp
 
 
+def _local_positions(batch):
+    """Local index of each node within its graph (batch must group
+    nodes by graph, as the block-diagonal collater produces)."""
+    n = batch.shape[0]
+    order = jnp.argsort(batch, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    sorted_batch = batch[order]
+    idx_in_graph = jnp.arange(n) - jnp.searchsorted(
+        sorted_batch, sorted_batch, side="left")
+    return idx_in_graph[inv]
+
+
 def to_dense_adj(senders, receivers, batch=None, edge_weight=None,
-                 num_nodes=None, max_num_nodes=None, edge_mask=None):
+                 num_nodes=None, max_num_nodes=None, edge_mask=None,
+                 num_graphs=None):
     """Build dense adjacency.  Single graph: (N, N).  Batched: (G, M, M)
     using per-graph local indices (padding edges must be masked)."""
     if edge_weight is None:
@@ -16,9 +29,21 @@ def to_dense_adj(senders, receivers, batch=None, edge_weight=None,
         n = num_nodes
         adj = jnp.zeros((n, n), dtype=edge_weight.dtype)
         return adj.at[senders, receivers].add(edge_weight)
-    raise NotImplementedError(
-        "Batched dense adjacency: use DenseDataLoader / ToDense transform "
-        "which pre-densifies per graph on host.")
+    if num_graphs is None:
+        num_graphs = int(batch.max()) + 1
+    pos = _local_positions(batch)
+    m = max_num_nodes if max_num_nodes is not None \
+        else int(pos.max()) + 1
+    g = jnp.take(batch, receivers)
+    pr = jnp.take(pos, receivers)
+    ps = jnp.take(pos, senders)
+    valid = (pr < m) & (ps < m)
+    w = jnp.where(valid, edge_weight, 0.0)
+    pr = jnp.minimum(pr, m - 1)
+    ps = jnp.minimum(ps, m - 1)
+    # same convention as the single-graph branch: adj[g, sender, recv]
+    adj = jnp.zeros((num_graphs, m, m), dtype=edge_weight.dtype)
+    return adj.at[g, ps, pr].add(w)
 
 
 def to_dense_batch(x, batch, num_graphs, max_num_nodes, node_mask=None):

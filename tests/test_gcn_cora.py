@@ -41,3 +41,28 @@ def test_gcn_output_respects_padding():
     np.testing.assert_allclose(
         np.asarray(logits1)[np.asarray(nm)],
         np.asarray(logits2)[np.asarray(nm)], rtol=1e-5, atol=1e-5)
+
+
+def test_gcn_pallas_hybrid_path_trains(rng):
+    """create_gcn_train_step(pallas=True) now binds HybridSpmm."""
+    import jax
+    import numpy as np
+
+    from pytorch_geometric_tpu.data import Data, from_data
+    from pytorch_geometric_tpu.models.citation import (
+        GCN, create_gcn_train_step)
+
+    n = 60
+    ei = np.stack([rng.integers(0, n, 300), rng.integers(0, n, 300)])
+    tm = np.zeros(n, bool); tm[:10] = True
+    g = from_data(Data(x=rng.normal(size=(n, 8)).astype(np.float32),
+                       edge_index=ei, y=rng.integers(0, 3, n),
+                       train_mask=tm, val_mask=tm, test_mask=tm))
+    model = GCN(hidden_channels=4, num_classes=3)
+    init_fn, epoch_step, eval_fn = create_gcn_train_step(
+        model, g, pallas=True, window=128, tile=128)
+    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    (params, opt_state, _), metrics = epoch_step(
+        (params, opt_state, jax.random.PRNGKey(1)), None)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(eval_fn(params)["test_acc"]))

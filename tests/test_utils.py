@@ -106,3 +106,24 @@ def test_rcm_reorder_improves_window_density(rng):
                          d2.edge_index[1].tolist()))
     assert nx.is_connected(G)
     assert all(deg == 2 for _, deg in G.degree())
+
+
+def test_to_dense_adj_batched(rng):
+    import jax.numpy as jnp
+
+    from pytorch_geometric_tpu.utils.convert import to_dense_adj
+
+    # two graphs: 3 nodes + 2 nodes, block-diagonal indexing
+    batch = jnp.asarray([0, 0, 0, 1, 1])
+    senders = jnp.asarray([0, 1, 2, 3, 4])
+    receivers = jnp.asarray([1, 2, 0, 4, 3])
+    w = jnp.asarray([1.0, 2.0, 3.0, 4.0, 5.0])
+    adj = to_dense_adj(senders, receivers, batch=batch, edge_weight=w,
+                       max_num_nodes=3)
+    assert adj.shape == (2, 3, 3)
+    assert float(adj[0, 0, 1]) == 1.0
+    assert float(adj[0, 1, 2]) == 2.0
+    assert float(adj[0, 2, 0]) == 3.0
+    assert float(adj[1, 0, 1]) == 4.0   # node 3 -> local 0, 4 -> 1
+    assert float(adj[1, 1, 0]) == 5.0
+    assert float(jnp.sum(adj)) == 15.0
