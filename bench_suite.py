@@ -390,6 +390,119 @@ def bench_roofline(n=100_000, e=2_000_000, f=128, communities=100):
                    "target": ">= 0.8 (north star)"}}))
 
 
+def bench_edges_per_s(n=131_072, e=4_000_000, f=128, hidden=128,
+                      communities=128):
+    """Per-chip GCN/GAT fwd+bwd edges/s — the BASELINE.json headline
+    metric ("Edges/s/chip (GCN/GAT fwd+bwd)").  Reddit-scale synthetic
+    clustered graph; one full training step (fwd + bwd + no optimiser)
+    per measurement, amortised K inside one program."""
+    import optax
+
+    from pytorch_geometric_tpu.ops.hybrid_spmm import HybridSpmm
+    from pytorch_geometric_tpu.ops.segment import (
+        segment_softmax,
+        segment_sum,
+    )
+
+    rng = np.random.default_rng(0)
+    comm = rng.integers(0, communities, n)
+    pos_of = np.empty(n, dtype=np.int64)
+    pos_of[np.argsort(comm, kind="stable")] = np.arange(n)
+    starts = np.searchsorted(np.sort(comm), np.arange(communities))
+    counts = np.bincount(comm, minlength=communities)
+    src = rng.integers(0, n, e)
+    intra = rng.random(e) < 0.9
+    c = comm[src]
+    dst = np.where(intra,
+                   starts[c] + (rng.random(e) * counts[c]).astype(
+                       np.int64),
+                   rng.integers(0, n, e))
+    senders, receivers = pos_of[src], dst
+    order = np.argsort(receivers, kind="stable")
+    senders = senders[order].astype(np.int32)
+    receivers = receivers[order].astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    deg = np.bincount(receivers, minlength=n) + 1.0
+    dis = deg ** -0.5
+    w_norm = jnp.asarray((dis[senders] * dis[receivers])
+                         .astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 16, n))
+    K = 5
+
+    # --- GCN: 2 layers on the hybrid SpMM
+    op = HybridSpmm(senders, receivers, n, window=1024, tile=512)
+    w1 = jnp.asarray(rng.normal(size=(f, hidden)).astype(np.float32)
+                     * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(hidden, 16)).astype(np.float32)
+                     * 0.05)
+
+    def gcn_loss(params, xs):
+        a, b = params
+        h = jax.nn.relu(op(w_norm, xs @ a))
+        logits = op(w_norm, h @ b)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+    @jax.jit
+    def gcn_steps(params, xs):
+        def step(acc, i):
+            l, g = jax.value_and_grad(gcn_loss)(
+                params, xs * (1.0 + 1e-9 * i.astype(jnp.float32)))
+            return acc + l + sum(jnp.sum(t) * 0 for t in
+                                 jax.tree_util.tree_leaves(g)), None
+        out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.int32))
+        return out
+
+    t = _time(gcn_steps, (w1, w2), x) / K
+    # 2 layers x (1 fwd + 2 bwd SpMM-equivalents) per step
+    print(json.dumps({
+        "metric": "gcn_fwdbwd_edges_per_s_per_chip",
+        "value": round(e / t / 1e9, 4), "unit": "Gedge/s",
+        "vs_baseline": None,
+        "detail": {"n": n, "e": e, "f": f, "step_ms": round(t * 1e3, 2),
+                   "note": "edges/s = E / full-train-step time"}}))
+
+    # --- GAT: 1 layer (4 heads) sparse attention fwd+bwd
+    H, C = 4, 16
+    sj = jnp.asarray(senders)
+    rj = jnp.asarray(receivers)
+    wg = jnp.asarray(rng.normal(size=(f, H * C)).astype(np.float32)
+                     * 0.05)
+    att_s = jnp.asarray(rng.normal(size=(1, H, C)).astype(np.float32))
+    att_d = jnp.asarray(rng.normal(size=(1, H, C)).astype(np.float32))
+
+    def gat_loss(params, xs):
+        wg_, as_, ad_ = params
+        h = (xs @ wg_).reshape(n, H, C)
+        a_s = jnp.sum(h * as_, axis=-1)
+        a_d = jnp.sum(h * ad_, axis=-1)
+        logits = jax.nn.leaky_relu(
+            jnp.take(a_s, sj, axis=0) + jnp.take(a_d, rj, axis=0), 0.2)
+        alpha = segment_softmax(logits, rj, n)
+        msgs = jnp.take(h, sj, axis=0) * alpha[..., None]
+        out = segment_sum(msgs, rj, n).reshape(n, H * C)
+        return jnp.mean(out ** 2)
+
+    @jax.jit
+    def gat_steps(params, xs):
+        def step(acc, i):
+            l, g = jax.value_and_grad(gat_loss)(
+                params, xs * (1.0 + 1e-9 * i.astype(jnp.float32)))
+            return acc + l + sum(jnp.sum(t) * 0 for t in
+                                 jax.tree_util.tree_leaves(g)), None
+        out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.int32))
+        return out
+
+    t = _time(gat_steps, (wg, att_s, att_d), x) / K
+    print(json.dumps({
+        "metric": "gat_fwdbwd_edges_per_s_per_chip",
+        "value": round(e / t / 1e9, 4), "unit": "Gedge/s",
+        "vs_baseline": None,
+        "detail": {"heads": H, "step_ms": round(t * 1e3, 2)}}))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
@@ -403,6 +516,8 @@ def main():
         bench_rgcn()
     if not args.skip_spmm:
         bench_spmm()
+        bench_roofline()
+        bench_edges_per_s()
 
 
 if __name__ == "__main__":
