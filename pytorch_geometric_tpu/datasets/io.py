@@ -172,8 +172,17 @@ def load_torch_tuple(path):
 
 
 def iter_zip_members(zip_path, suffix):
-    """Yield (name, bytes) for members of a zip archive with suffix."""
+    """Yield (name, bytes) for members of a zip archive with suffix.
+
+    macOS-built archives (the official ModelNet10/40 zips among them)
+    carry ``__MACOSX/`` resource-fork mirrors and ``._*`` AppleDouble
+    entries whose names match real members' suffixes but whose bytes
+    are not the advertised format; skip them unconditionally.
+    """
     with zipfile.ZipFile(zip_path) as zf:
         for name in sorted(zf.namelist()):
+            base = name.rsplit("/", 1)[-1]
+            if name.startswith("__MACOSX/") or base.startswith("._"):
+                continue
             if name.endswith(suffix):
                 yield name, zf.read(name)

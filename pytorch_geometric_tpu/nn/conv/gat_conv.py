@@ -165,21 +165,27 @@ class GATConv(nn.Module):
         alpha_src = jnp.sum(h * att_src, axis=-1)          # (n_in, H)
         alpha_dst = jnp.sum(h * att_dst, axis=-1)
 
-        senders = jnp.concatenate([cl.senders, cl.self_idx])
-        receivers = jnp.concatenate(
-            [cl.receivers, jnp.arange(n_out, dtype=cl.receivers.dtype)])
+        if self.add_self_loops:
+            senders = jnp.concatenate([cl.senders, cl.self_idx])
+            receivers = jnp.concatenate(
+                [cl.receivers,
+                 jnp.arange(n_out, dtype=cl.receivers.dtype)])
+        else:
+            senders, receivers = cl.senders, cl.receivers
         logits = (jnp.take(alpha_src, senders, axis=0)
                   + jnp.take(alpha_dst, receivers, axis=0))
         logits = jax.nn.leaky_relu(logits, self.negative_slope)
+        # padding edges are masked unconditionally; with self loops on,
+        # pre-existing self edges are masked too (their appended copy is
+        # the one softmax slot PyG's remove-then-add semantics keeps)
+        drop = ~cl.edge_mask
         if self.add_self_loops:
-            # mask pre-existing self edges (their appended copy is the
-            # one softmax slot PyG keeps) and padding edges
             dup = (cl.sender_global
                    == jnp.take(cl.out_global, cl.receivers))
-            dup = dup | ~cl.edge_mask
-            dup = jnp.concatenate(
-                [dup, jnp.zeros(n_out, dtype=bool)])
-            logits = jnp.where(dup[:, None], -1e9, logits)
+            drop = drop | dup
+            drop = jnp.concatenate(
+                [drop, jnp.zeros(n_out, dtype=bool)])
+        logits = jnp.where(drop[:, None], -1e9, logits)
 
         alpha = segment_softmax(logits, receivers, n_out)
         if self.dropout > 0 and train:

@@ -17,8 +17,11 @@ attention there is no QK^T matmul: the score tile is built on the VPU
 from two vectors.
 
 Dropout (PyG drops the *normalised* alpha) runs inside the kernel via
-the per-core PRNG; the backward kernel reseeds identically and
-regenerates the mask instead of storing N^2 keep-bits.
+a counter-based integer hash of (seed, global row, col, head); the
+backward kernel regenerates the identical mask from coordinates
+instead of storing N^2 keep-bits.  (A stateless hash rather than the
+per-core PRNG: it is position-exact across the fwd/bwd grids and
+lowers in interpret mode on CPU, where pltpu.prng_seed does not.)
 
 Static shapes: adjacency is padded to multiples of the row tile; the
 operator caches one compiled kernel per (rate, slope) pair.
@@ -41,6 +44,22 @@ def _round_up(x: int, m: int) -> int:
 _NEG = -1e9
 
 
+def _hash_keep_bits(seed, row0, hd, shape):
+    """uint32 per (global row, col) position — a stateless xorshift-mult
+    mix so forward and backward grids regenerate identical dropout bits
+    from coordinates alone (no PRNG state, interpret-mode safe)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(
+        row0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (rows * jnp.uint32(0x9E3779B1)
+         ^ cols * jnp.uint32(0x85EBCA77)
+         ^ (seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+            + jnp.uint32(hd) * jnp.uint32(0x27D4EB2F)))
+    x = (x ^ (x >> 15)) * jnp.uint32(0x2C1B3C6D)
+    x = (x ^ (x >> 12)) * jnp.uint32(0x297A2D39)
+    return x ^ (x >> 15)
+
+
 def _fwd_kernel(seed_ref, d_ref, st_ref, h_ref, adj_ref,
                 out_ref, lse_ref, *, H, C, rate, slope, tile):
     pid = pl.program_id(0)
@@ -55,9 +74,8 @@ def _fwd_kernel(seed_ref, d_ref, st_ref, h_ref, adj_ref,
         p = jnp.where(valid, jnp.exp(z - m), 0.0)
         l = jnp.sum(p, axis=1, keepdims=True)
         if rate > 0:
-            pltpu.prng_seed(seed_ref[0, 0] * 65599 + pid * H + hd)
-            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
-                                 jnp.uint32)
+            bits = _hash_keep_bits(seed_ref[0, 0], pid * tile, hd,
+                                   p.shape)
             p = jnp.where(bits >= jnp.uint32(thresh), p, 0.0)
         acc = jnp.dot(p.astype(jnp.bfloat16),
                       h_ref[:, hd * C:(hd + 1) * C].astype(jnp.bfloat16),
@@ -91,9 +109,8 @@ def _bwd_kernel(seed_ref, d_ref, st_ref, h_ref, adj_ref, lse_ref,
             jnp.exp(jnp.where(valid, z, _NEG) - lse_ref[:, hd:hd + 1]),
             0.0)
         if rate > 0:
-            pltpu.prng_seed(seed_ref[0, 0] * 65599 + pid * H + hd)
-            bits = pltpu.bitcast(pltpu.prng_random_bits(alpha.shape),
-                                 jnp.uint32)
+            bits = _hash_keep_bits(seed_ref[0, 0], pid * tile, hd,
+                                   alpha.shape)
             keep = bits >= jnp.uint32(thresh)
             beta = jnp.where(keep, alpha * scale, 0.0)
         else:

@@ -20,7 +20,17 @@ def to_dense_adj(senders, receivers, batch=None, edge_weight=None,
                  num_nodes=None, max_num_nodes=None, edge_mask=None,
                  num_graphs=None):
     """Build dense adjacency.  Single graph: (N, N).  Batched: (G, M, M)
-    using per-graph local indices (padding edges must be masked)."""
+    using per-graph local indices (padding edges must be masked).
+
+    Shape arguments are static: inside ``jit``, ``num_nodes`` (single
+    graph), and ``num_graphs`` + ``max_num_nodes`` (batched), MUST be
+    passed as Python ints — omitting them falls back to ``int(.max())``
+    on the traced index arrays, which raises a ConcretizationError
+    under tracing.  The fallbacks exist for eager/host-side use only.
+    """
+    if batch is None and num_nodes is None:
+        num_nodes = (int(max(senders.max(), receivers.max())) + 1
+                     if senders.size else 0)
     if edge_weight is None:
         edge_weight = jnp.ones(senders.shape, dtype=jnp.float32)
     if edge_mask is not None:
