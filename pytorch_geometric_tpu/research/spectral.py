@@ -94,6 +94,49 @@ def recursive_fiedler_partition(G: nx.Graph, num_classes: int
     return {lab: list(sub.nodes()) for lab, sub in enumerate(parts)}
 
 
+def graclus_partition(G: nx.Graph, num_classes: int,
+                      seed: int = 0) -> Dict[int, List[int]]:
+    """Cluster the composed weight graph with greedy graclus matching
+    (reference SpectralAnalysis.py:18,356 runs ``graclus_cluster`` on
+    the composed graph's weighted edge list).  One matching pass halves
+    the cluster count, so coarsen repeatedly until at most
+    ``max(num_classes, 2)`` clusters remain — the multi-level use of the
+    same kernel that nn/pool/coarsen.py applies to data graphs.
+    """
+    from pytorch_geometric_tpu.cluster import graclus_cluster
+
+    nodes = list(G.nodes())
+    idx = {u: i for i, u in enumerate(nodes)}
+    s, r, w = [], [], []
+    for u, v, d in G.edges(data=True):
+        if "weight" in d:
+            s.append(idx[u])
+            r.append(idx[v])
+            w.append(abs(float(d["weight"])))
+    member = np.arange(len(nodes))          # node -> current cluster id
+    s, r, w = np.asarray(s), np.asarray(r), np.asarray(w)
+    n = len(nodes)
+    for level in range(32):
+        if n <= max(num_classes, 2) or s.size == 0:
+            break
+        cl = graclus_cluster(s, r, weight=w, num_nodes=n,
+                             seed=seed + level)
+        uniq, compact = np.unique(cl, return_inverse=True)
+        if len(uniq) >= n:                  # no progress: all singletons
+            break
+        member = compact[member]
+        # coarsen the edge list; drop intra-cluster edges
+        s, r = compact[s], compact[r]
+        keep = s != r
+        s, r, w = s[keep], r[keep], w[keep]
+        n = len(uniq)
+    out: Dict[int, List[int]] = {}
+    for u, c in zip(nodes, member):
+        out.setdefault(int(c), []).append(u)
+    return {lab: mem for lab, (_, mem) in
+            enumerate(sorted(out.items()))}
+
+
 def weighted_link_prediction(G: nx.Graph, clusters: Dict[int, List[int]],
                              method: str, vector_pairs: int
                              ) -> List[Tuple[int, int, float]]:
@@ -153,11 +196,15 @@ def weight_correction(params, num_classes: int,
                       vector_pairs: int = 2,
                       correction_coeff: float = 0.001,
                       max_layer_nodes: int = 2000,
-                      max_layer_edges: int = 50_000):
+                      max_layer_edges: int = 50_000,
+                      clustering: str = "fiedler",
+                      dump: dict = None):
     """The reference's WeightCorrection (:312-430) over a param pytree:
 
     1. first two 2-D weight matrices -> composed bipartite weight graph;
-    2. recursive Fiedler bipartition into ~num_classes clusters;
+    2. cluster it — ``clustering='fiedler'`` recursive bipartition
+       (reference :365-382) or ``'graclus'`` greedy matching on the
+       weighted edge list (reference :356);
     3. per-cluster wrong-link scoring via link prediction;
     4. add correction_coeff * score to the corresponding weight entries.
 
@@ -187,7 +234,30 @@ def weight_correction(params, num_classes: int,
     for g2 in graphs[1:]:
         G = nx.compose(G, g2)
 
-    clusters = recursive_fiedler_partition(G, num_classes)
+    if clustering == "graclus":
+        clusters = graclus_partition(G, num_classes)
+    else:
+        clusters = recursive_fiedler_partition(G, num_classes)
+    if dump is not None and len(clusters) > 4:
+        # persist (graph, partition) for PlotGraphPartition-style viz
+        # (reference SpectralAnalysis.py saves classiResultsFiles /
+        # GraphResultsFiles pickles when the partition is rich enough)
+        import os
+        import pickle
+
+        base = os.path.join(dump.get("results_dir", "Results"),
+                            "PartitionResults")
+        os.makedirs(base, exist_ok=True)
+        tag = (f"{dump.get('dataset', 'ds')}-"
+               f"{dump.get('model_name', 'model')}")
+        epoch = dump.get("epoch", 0)
+        with open(os.path.join(
+                base, f"{tag}-GraphEpoch_{epoch}.pkl"), "wb") as f:
+            pickle.dump(G, f)
+        with open(os.path.join(
+                base, f"{tag}-oneClassNodeEpoch_{epoch}.pkl"),
+                "wb") as f:
+            pickle.dump(clusters, f)
     pred = weighted_link_prediction(G, clusters, method, vector_pairs)
     if not pred:
         return params, 0

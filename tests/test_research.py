@@ -118,6 +118,43 @@ def test_weight_correction_applies():
         assert a.shape == b.shape
 
 
+def test_weight_correction_graclus_backend():
+    """Both clustering backends (reference SpectralAnalysis.py:356
+    graclus vs :365-382 recursive Fiedler) run through the full
+    correction pipeline and produce a valid partition of the composed
+    weight graph."""
+    from pytorch_geometric_tpu.research.spectral import (
+        graclus_partition,
+        weights_to_adjacency,
+    )
+
+    rng = np.random.default_rng(1)
+    w0 = rng.normal(size=(6, 8)).astype(np.float32)
+    w1 = rng.normal(size=(8, 4)).astype(np.float32)
+    params = {"params": {
+        "layers_0": {"weight": jnp.asarray(w0)},
+        "layers_1": {"weight": jnp.asarray(w1)},
+    }}
+    # the partition itself: covers every node exactly once, <= bound
+    import networkx as nx
+    G0, _ = weights_to_adjacency(w0, 0)
+    G1, _ = weights_to_adjacency(w1, sum(w0.shape))
+    G = nx.compose(G0, G1)
+    clusters = graclus_partition(G, num_classes=4)
+    all_nodes = [u for mem in clusters.values() for u in mem]
+    assert sorted(all_nodes) == sorted(G.nodes())
+    assert len(clusters) <= max(4, 2) or len(clusters) < G.number_of_nodes()
+
+    for backend in ("fiedler", "graclus"):
+        new_params, applied = weight_correction(
+            params, num_classes=4, correction_coeff=0.01,
+            clustering=backend)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(new_params)):
+            assert a.shape == b.shape
+            assert np.all(np.isfinite(np.asarray(b)))
+
+
 def test_admm_cycle():
     rng = np.random.default_rng(0)
     params = {"dense": {"weight": jnp.asarray(
