@@ -211,6 +211,77 @@ def train_part_graphcls(model, train_loader, test_loader, params,
                            best)
 
 
+def train_part_graphcls_dp(model, train_list_loader, test_loader, params,
+                           epochs: int, num_devices: int,
+                           num_nodes: int, num_edges: int,
+                           graphs_per_shard: int, lr: float = 5e-4,
+                           seed: int = 0,
+                           ckpt: Optional[CheckpointManager] = None,
+                           run_key: str = "run") -> TrainPartResult:
+    """Multi-device graph-classification phase — the TPU-native
+    counterpart of the reference running the pipeline under
+    ``DataParallel(net)`` (ConvexPruning.py:530-531,559-560, exercised
+    by run_ContractionCoefficientsChanges_2gpus.sh): each device gets a
+    padded shard of the graph list, gradients ``psum`` over the ICI
+    mesh axis (parallel/data_parallel.py), one compiled program."""
+    from jax.sharding import Mesh
+
+    from pytorch_geometric_tpu.parallel.data_parallel import (
+        DataParallelTrainer,
+        shard_data_list,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:num_devices]), ("dp",))
+
+    def loss_fn(p, graph, rng):
+        logits = model.apply(p, graph, train=True, rngs={"dropout": rng})
+        logp = jax.nn.log_softmax(logits)
+        y = graph.y.astype(jnp.int32)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        m = graph.graph_mask.astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.maximum(m.sum(), 1.0)
+
+    trainer = DataParallelTrainer(mesh, loss_fn, optax.adam(lr))
+    opt_state = trainer.init(params)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def eval_batch(params, graph):
+        logits = model.apply(params, graph)
+        pred = jnp.argmax(logits, axis=1)
+        m = graph.graph_mask
+        return jnp.sum((pred == graph.y.astype(jnp.int32)) & m), \
+            jnp.sum(m)
+
+    train_conv, test_conv = [], []
+    best = 0.0
+    for epoch in range(epochs):
+        losses = []
+        for data_list in train_list_loader:
+            if len(data_list) < num_devices:   # tail smaller than mesh
+                continue
+            key, sub = jax.random.split(key)
+            stacked = shard_data_list(data_list, num_devices,
+                                      num_nodes, num_edges,
+                                      graphs_per_shard)
+            params, opt_state, loss = trainer.step(params, opt_state,
+                                                   stacked, sub)
+            losses.append(float(loss))
+        train_conv.append(float(np.mean(losses)) if losses else 0.0)
+        cor = tot = 0
+        for graph in test_loader:
+            c, t = eval_batch(params, graph)
+            cor, tot = cor + int(c), tot + int(t)
+        acc = cor / max(tot, 1)
+        test_conv.append(acc)
+        best = max(best, acc)
+        if ckpt is not None:
+            ckpt.save_best(run_key, acc, params, opt_state, train_conv,
+                           test_conv, epoch=epoch)
+    return TrainPartResult(params, opt_state, train_conv, test_conv,
+                           best)
+
+
 def training_net_graphcls(dataset: str, model_name: str = "TopK",
                           num_layers: int = 3, con_coeff: float = 0.6,
                           alpha: float = 0.5, epochs: int = 20,
@@ -218,10 +289,16 @@ def training_net_graphcls(dataset: str, model_name: str = "TopK",
                           batch_size: int = 64, lr: float = 5e-4,
                           monte_size: int = 1, seed: int = 0,
                           results_dir: str = "Results",
-                          ckpt_dir: str = "checkpoint"):
+                          ckpt_dir: str = "checkpoint",
+                          num_devices: int = 1):
     """Graph-classification pipeline (reference TUDataset dispatch at
-    ConvexPruning.py:487 + the Batch_size sweep variant)."""
-    from pytorch_geometric_tpu.data import DataLoader
+    ConvexPruning.py:487 + the Batch_size sweep variant).
+
+    ``num_devices > 1`` runs both phases data-parallel over a device
+    mesh — the counterpart of the reference wrapping the net in
+    ``DataParallel`` (ConvexPruning.py:530-531,559-560)."""
+    from pytorch_geometric_tpu.data import DataListLoader, DataLoader
+    from pytorch_geometric_tpu.data.batch import bucket_size
     from pytorch_geometric_tpu.datasets import TUDataset
 
     ds = TUDataset("datasets_cache", dataset.upper())
@@ -229,6 +306,13 @@ def training_net_graphcls(dataset: str, model_name: str = "TopK",
     ckpt = CheckpointManager(ckpt_dir)
     out_dir = osp.join(results_dir, f"{dataset.upper()}Convergence")
     os.makedirs(out_dir, exist_ok=True)
+    if num_devices > 1:
+        batch_size = max(batch_size // num_devices, 1) * num_devices
+        gps = batch_size // num_devices           # graphs per shard
+        sizes_n = sorted((d.num_nodes for d in ds), reverse=True)
+        sizes_e = sorted((d.num_edges for d in ds), reverse=True)
+        shard_nodes = bucket_size(sum(sizes_n[:gps]) + 1)
+        shard_edges = bucket_size(max(sum(sizes_e[:gps]), 1))
     results = []
     for monte in range(monte_size):
         sh = ds.shuffle(seed=seed + monte)
@@ -245,19 +329,31 @@ def training_net_graphcls(dataset: str, model_name: str = "TopK",
         params = model.init({"params": key, "dropout": key}, g0)
         run_key = (f"{dataset}-{model_name}{num_layers}-"
                    f"{'_'.join(map(str, widths))}-b{batch_size}-{monte}")
-        phase1 = train_part_graphcls(model, train_loader, test_loader,
-                                     params, epochs, lr=lr, seed=seed,
-                                     ckpt=ckpt, run_key=run_key + "-p1")
+
+        if num_devices > 1:
+            list_loader = DataListLoader(train_ds, batch_size=batch_size,
+                                         shuffle=True, seed=seed + monte)
+
+            def fit(mdl, prms, n_epochs, sd, rk):
+                return train_part_graphcls_dp(
+                    mdl, list_loader, test_loader, prms, n_epochs,
+                    num_devices, shard_nodes, shard_edges, gps, lr=lr,
+                    seed=sd, ckpt=ckpt, run_key=rk)
+        else:
+            def fit(mdl, prms, n_epochs, sd, rk):
+                return train_part_graphcls(
+                    mdl, train_loader, test_loader, prms, n_epochs,
+                    lr=lr, seed=sd, ckpt=ckpt, run_key=rk)
+
+        phase1 = fit(model, params, epochs, seed, run_key + "-p1")
         new_widths = [max(int(w), 2) for w in
                       retain_network_size(phase1.params, con_coeff)
                       [:num_layers]] or widths
         pruned = choose_model(model_name, new_widths, num_classes)
         key2 = jax.random.PRNGKey(seed + monte + 1)
         p2 = pruned.init({"params": key2, "dropout": key2}, g0)
-        phase2 = train_part_graphcls(pruned, train_loader, test_loader,
-                                     p2, fine_tune_epochs, lr=lr,
-                                     seed=seed + 1, ckpt=ckpt,
-                                     run_key=run_key + "-p2")
+        phase2 = fit(pruned, p2, fine_tune_epochs, seed + 1,
+                     run_key + "-p2")
         tag = f"param_{'_'.join(map(str, widths))}_{con_coeff}_b{batch_size}"
         np.save(osp.join(out_dir, f"TrainConvergence-{dataset.upper()}-"
                                   f"{model_name}{num_layers}-{tag}-"
@@ -373,6 +469,10 @@ def main(argv=None):
                    default="resource_allocation_index")
     p.add_argument("--MonteSize", type=int, default=1)
     p.add_argument("--Batch_size", type=int, default=64)
+    p.add_argument("--gpus", type=int, default=1, dest="num_devices",
+                   help="device count for data-parallel training "
+                        "(mirrors the reference's --gpus flag; here "
+                        "TPU chips / mesh devices)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", "-r", action="store_true")
     p.add_argument("--savepath", default="Results")
@@ -386,7 +486,8 @@ def main(argv=None):
             alpha=args.alpha, epochs=args.epochs,
             fine_tune_epochs=args.fine_tune_epochs,
             batch_size=args.Batch_size, monte_size=args.MonteSize,
-            seed=args.seed, results_dir=args.savepath)
+            seed=args.seed, results_dir=args.savepath,
+            num_devices=args.num_devices)
         for r in res:
             print(r)
         return
