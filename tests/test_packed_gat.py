@@ -1,0 +1,129 @@
+"""PackedFlashGat (ops/packed_gat.py) parity + gradient checks vs a
+dense fp32 oracle and the sparse segment-softmax GAT path (interpret
+mode on CPU runs the exact kernel bodies)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_geometric_tpu.data import Data, from_data
+from pytorch_geometric_tpu.nn.conv import GATConv, gat_dense_adj
+from pytorch_geometric_tpu.ops.packed_gat import PackedFlashGat
+
+
+def _graph(rng, n=300, e=1200, f=6):
+    ei = np.unique(np.stack([rng.integers(0, n, e),
+                             rng.integers(0, n, e)]), axis=1)
+    return from_data(Data(x=rng.normal(size=(n, f)).astype(np.float32),
+                          edge_index=ei))
+
+
+def _inputs(rng, n, H, C):
+    d = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(n, H * C)).astype(np.float32))
+    return d, s, h
+
+
+def _dense_reference(adj, d, s, h, H, C, slope=0.2):
+    n = d.shape[0]
+    hv = h.reshape(n, H, C)
+    z = d.T[:, :, None] + s.T[:, None, :]
+    z = jnp.where(z > 0, z, slope * z)
+    z = jnp.where(adj[None], z, -1e9)
+    alpha = jax.nn.softmax(z, axis=-1)
+    out = jnp.einsum("hij,hjc->hic", alpha, hv.transpose(1, 0, 2))
+    return out.transpose(1, 0, 2).reshape(n, H * C)
+
+
+def _op(adj_np, window=128, tile=128):
+    return PackedFlashGat(adj_np, window=window, tile=tile)
+
+
+def test_packed_forward_matches_dense_reference(rng):
+    g = _graph(rng)
+    adj_np = np.asarray(gat_dense_adj(g))
+    op = _op(adj_np)
+    assert op.E == int(adj_np.sum())
+    H, C = 3, 5
+    n = g.num_nodes
+    d, s, h = _inputs(rng, n, H, C)
+    out = np.asarray(op(d, s, h, 0.0, rate=0.0))
+    ref = np.asarray(_dense_reference(jnp.asarray(adj_np), d, s, h, H, C))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_packed_whole_layer_matches_sparse_gat(rng):
+    g = _graph(rng)
+    op = _op(np.asarray(gat_dense_adj(g)))
+    conv = GATConv(out_channels=5, heads=3)
+    params = conv.init(jax.random.PRNGKey(0), g, g.x)
+    sparse = np.asarray(conv.apply(params, g, g.x))
+    packed = np.asarray(conv.apply(params, g, g.x, flash_op=op))
+    nm = np.asarray(g.node_mask)
+    np.testing.assert_allclose(packed[nm], sparse[nm], rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_packed_gradients_match_dense_reference(rng):
+    g = _graph(rng)
+    adj_np = np.asarray(gat_dense_adj(g))
+    op = _op(adj_np)
+    H, C = 2, 4
+    n = g.num_nodes
+    d, s, h = _inputs(rng, n, H, C)
+    proj = jnp.asarray(rng.normal(size=(n, H * C)).astype(np.float32))
+    adj = jnp.asarray(adj_np)
+
+    def loss_packed(d, s, h):
+        return jnp.sum(op(d, s, h, 0.0, rate=0.0) * proj)
+
+    def loss_ref(d, s, h):
+        return jnp.sum(_dense_reference(adj, d, s, h, H, C) * proj)
+
+    gf = jax.grad(loss_packed, argnums=(0, 1, 2))(d, s, h)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(d, s, h)
+    for a, b, name in zip(gf, gr, ("d", "s", "h")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2,
+                                   err_msg=f"grad wrt {name}")
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.5])
+def test_packed_fwd_bwd_consistency(rng, rate):
+    """Directional FD == VJP including dropout (keep bits hashed on the
+    original edge id must agree across the three kernels and two edge
+    packings)."""
+    g = _graph(rng, n=200, e=800)
+    op = _op(np.asarray(gat_dense_adj(g)))
+    H, C = 2, 4
+    n = g.num_nodes
+    d, s, h = _inputs(rng, n, H, C)
+    proj = jnp.asarray(rng.normal(size=(n, H * C)).astype(np.float32))
+
+    def f(h_):
+        return jnp.sum(op(d, s, h_, 5.0, rate=rate) * proj)
+
+    v = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+    gh = jax.grad(f)(h)
+    eps = 0.5        # f linear in h: no truncation error, beats bf16
+    fd = (f(h + eps * v) - f(h - eps * v)) / (2 * eps)
+    an = jnp.vdot(gh, v)
+    np.testing.assert_allclose(float(an), float(fd), rtol=5e-2, atol=5e-1)
+
+
+def test_packed_nondivisible_and_isolated(rng):
+    n, H, C = 150, 2, 3
+    adj = np.zeros((n, n), bool)
+    ei = np.stack([rng.integers(0, 40, 200), rng.integers(0, 40, 200)])
+    adj[ei[1], ei[0]] = True
+    np.fill_diagonal(adj, True)
+    op = _op(adj, window=64, tile=128)
+    d, s, h = _inputs(rng, n, H, C)
+    out = np.asarray(op(d, s, h, 0.0, rate=0.0))
+    ref = np.asarray(_dense_reference(jnp.asarray(adj), d, s, h, H, C))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    hv = np.asarray(h).reshape(n, H, C)
+    np.testing.assert_allclose(out[120].reshape(H, C), hv[120],
+                               rtol=2e-2, atol=2e-2)
