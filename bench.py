@@ -1,84 +1,39 @@
-"""Headline benchmark: Cora GCN, 200-epoch full training wall-clock.
+"""Headline benchmarks: the reference README speed table, all 7 rows.
 
-Reference baseline: 0.25 s on a GTX 1080Ti (reference README.md:67-72;
-BASELINE.md).  The TPU run executes all 200 epochs as one lax.scan inside
-a single jit — compile once, zero host round-trips.
+Reference baselines (GTX 1080Ti, 200-epoch full-training wall-clock;
+reference README.md:55-128, BASELINE.md): Cora/CiteSeer/PubMed x
+GCN/GAT + MUTAG-RDF RGCN.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
-(vs_baseline = baseline_seconds / our_seconds; > 1 means faster than the
-reference's GPU number.)
+Prints one JSON line per metric as it completes (so partial runs still
+record evidence), then a final summary line whose ``detail`` embeds all
+metrics — whichever line the driver parses carries the full claim set.
+
+Honesty gates (see bench_common.py): every timed program returns
+held-out val/test accuracy of the final parameters evaluated on the
+FULL graph, and the closure-vs-full max logit gap; the bench asserts
+all of them before printing a number.
 """
 
 import json
-import time
+import math
 
-import jax
-
-
-BASELINE_S = 0.25  # Cora GCN 200 epochs, GTX 1080Ti (reference README)
+import bench_common as bc
 
 
 def main():
-    from pytorch_geometric_tpu.data import from_data
-    from pytorch_geometric_tpu.datasets.synthetic import (
-        synthetic_citation_graph,
-    )
-    from pytorch_geometric_tpu.models.citation import (
-        GCN,
-        create_gcn_train_step,
-    )
-    from pytorch_geometric_tpu.transforms import NormalizeFeatures
-
-    data = NormalizeFeatures()(synthetic_citation_graph("cora", seed=0))
-    graph = from_data(data)
-
-    model = GCN(hidden_channels=16, num_classes=7)
-    # training-closure path: the epoch runs on the exact 2-layer
-    # receptive field of the labelled nodes (gradient-identical to
-    # full-graph training — tests/test_closure.py); final accuracy is
-    # checked on the FULL graph below
-    init_fn, epoch_step, eval_fn = create_gcn_train_step(model, graph,
-                                                         closure=True)
-    key = jax.random.PRNGKey(0)
-    params, opt_state = init_fn(key)
-
-    @jax.jit
-    def run(params, opt_state, key):
-        (params, opt_state, _), metrics = jax.lax.scan(
-            epoch_step, (params, opt_state, key), None, length=200)
-        return params, opt_state, metrics["loss"][-1]
-
-    # compile + warmup; completion barrier = host-forcing the scalar
-    # loss (on the remote backend block_until_ready can return early),
-    # minus the measured RPC roundtrip floor
-    p, o, l = run(params, opt_state, key)
-    float(l)
-    tiny = jax.jit(lambda i: i + 1.0)
-    float(tiny(0.0))
-    t0 = time.perf_counter()
-    for i in range(10):
-        float(tiny(float(i)))
-    rpc = (time.perf_counter() - t0) / 10
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        p, o, l = run(params, opt_state, key)
-        float(l)
-        best = min(best, time.perf_counter() - t0)
-    best = max(best - rpc, 1e-9)
-
-    # honesty check: the timed run must actually train
-    acc = float(eval_fn(p)["train_acc"])
-    assert acc > 0.8, f"trained accuracy {acc} too low — benchmark invalid"
-
+    records = bc.run_headline_suite(epochs=200)
+    speedups = [r["vs_baseline"] for r in records if r["vs_baseline"]]
+    geo = math.exp(sum(math.log(s) for s in speedups) / len(speedups))
     print(json.dumps({
-        "metric": "cora_gcn_200epoch_train_wallclock",
-        "value": round(best, 6),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_S / best, 3),
-    }))
+        "metric": "headline_geomean_speedup",
+        "value": round(geo, 3),
+        "unit": "x",
+        "vs_baseline": round(geo, 3),
+        "detail": {r["metric"]: {"s": r["value"],
+                                 "vs_baseline": r["vs_baseline"],
+                                 **r.get("detail", {})}
+                   for r in records},
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,327 @@
+"""Shared benchmark machinery + the 7 headline training benches.
+
+Mirrors the reference's README speed table (200-epoch full-training
+wall-clock on a GTX 1080Ti — reference README.md:55-128, BASELINE.md):
+Cora/CiteSeer/PubMed x GCN/GAT + MUTAG-RDF RGCN.
+
+Timing protocol (honest on the remote "axon" backend):
+
+- ``block_until_ready`` can return before execution completes, so every
+  timed program returns a scalar that is host-forced (``float()``).
+- K independent 200-epoch trainings run inside ONE program (a scan over
+  fold_in'd keys), so the per-call RPC roundtrip (~24 ms) is amortised
+  K-fold instead of subtracted at full weight (round-1 ADVICE.md: the
+  subtraction dominated the fastest results).  The residual floor is
+  still subtracted once.
+
+Honesty gates (VERDICT.md round 1, item 5):
+
+- the timed program itself returns held-out val/test accuracy of the
+  final parameters, evaluated FULL-GRAPH (adds one forward per K*200
+  epochs — <1% of the measured time); the bench asserts them.
+- closure-path benches also return the max |logit| gap between the
+  closure forward and the full-graph forward at the final parameters —
+  the gradient-identity claim (tests/test_closure.py), re-verified in
+  the timed artifact itself.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINES = {  # reference wall-clock seconds on GTX 1080Ti (README.md)
+    ("cora", "gcn"): 0.25, ("cora", "gat"): 0.80,
+    ("citeseer", "gcn"): 0.30, ("citeseer", "gat"): 0.88,
+    ("pubmed", "gcn"): 0.32, ("pubmed", "gat"): 2.42,
+    ("mutag", "rgcn"): 2.14,
+}
+
+_RPC_FLOOR = None
+
+
+def rpc_floor():
+    """Host<->device roundtrip latency of this backend."""
+    global _RPC_FLOOR
+    if _RPC_FLOOR is None:
+        tiny = jax.jit(lambda i: i + 1.0)
+        float(tiny(0.0))
+        t0 = time.perf_counter()
+        for i in range(10):
+            float(tiny(float(i)))
+        _RPC_FLOOR = (time.perf_counter() - t0) / 10
+    return _RPC_FLOOR
+
+
+def time_program(fn, *args, iters=3):
+    """Best-of-iters wall-clock of ``fn(*args)`` whose FIRST output is a
+    scalar used as the completion barrier; returns (seconds, last_out)."""
+    out = fn(*args)
+    float(jax.tree_util.tree_leaves(out)[0])
+    rpc = rpc_floor()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rpc, 1e-9), out
+
+
+def emit(metric, seconds, baseline, extra=None):
+    rec = {"metric": metric, "value": round(seconds, 6), "unit": "s",
+           "vs_baseline": round(baseline / seconds, 3) if baseline
+           else None}
+    if extra:
+        rec["detail"] = extra
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def bench_citation_gcn(dataset: str, epochs: int = 200, K: int = 8,
+                       min_val_acc: float = 0.6,
+                       min_test_acc: float = 0.6):
+    """Closure-path GCN 200-epoch training (the headline row)."""
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.data.closure import (
+        layered_training_closure)
+    from pytorch_geometric_tpu.datasets import Planetoid
+    from pytorch_geometric_tpu.models.citation import (
+        GCN, create_gcn_train_step)
+    from pytorch_geometric_tpu.nn.conv.gcn_conv import (
+        gcn_closure_norm, gcn_norm)
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+
+    ds = Planetoid("datasets_cache", dataset.capitalize(),
+                   transform=NormalizeFeatures())
+    graph = from_data(ds[0])
+    model = GCN(hidden_channels=16, num_classes=ds.num_classes)
+    init_fn, epoch_step, eval_fn = create_gcn_train_step(model, graph,
+                                                         closure=True)
+    key = jax.random.PRNGKey(0)
+    params0, opt0 = init_fn(key)
+
+    # closure-vs-full parity artifacts (same params, train=False)
+    emask = np.asarray(graph.real_edge_mask())
+    ei = np.stack([np.asarray(graph.senders)[emask],
+                   np.asarray(graph.receivers)[emask]])
+    seeds = np.flatnonzero(np.asarray(graph.train_mask))
+    layers = layered_training_closure(ei, seeds, 2,
+                                      num_nodes=graph.num_nodes)
+    closure_norms = gcn_closure_norm(ei, graph.num_nodes, layers)
+    x0 = jnp.take(graph.x, layers[0].in_global, axis=0)
+    seeds_j = jnp.asarray(seeds)
+    norm = gcn_norm(graph)
+    n_train = len(seeds)
+
+    @jax.jit
+    def run(params, opt_state, key):
+        def one(carry, i):
+            acc, p_keep, o_keep = carry
+            (p, o, _), m = jax.lax.scan(
+                epoch_step, (params, opt_state, jax.random.fold_in(key, i)),
+                None, length=epochs)
+            return (acc + m["loss"][-1], p, o), None
+        (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt_state),
+                                      jnp.arange(K))
+        ev = eval_fn(p)
+        logits_cl = model.apply(p, None, x0, train=False, closure=layers,
+                                closure_norms=closure_norms)[:n_train]
+        logits_full = model.apply(p, graph, graph.x, norm, train=False)
+        gap = jnp.max(jnp.abs(logits_cl
+                              - jnp.take(logits_full, seeds_j, axis=0)))
+        return acc, ev, gap
+
+    secs, (_, ev, gap) = time_program(run, params0, opt0, key)
+    per = secs / K
+    val, test = float(ev["val_acc"]), float(ev["test_acc"])
+    gap = float(gap)
+    assert val > min_val_acc and test > min_test_acc, \
+        f"{dataset} gcn held-out acc too low: val={val} test={test}"
+    assert gap < 1e-3, f"closure/full logit gap {gap}"
+    return emit(f"{dataset}_gcn_{epochs}epoch_wallclock", per,
+                BASELINES[(dataset, "gcn")],
+                {"val_acc": round(val, 4), "test_acc": round(test, 4),
+                 "closure_full_logit_gap": gap, "K": K})
+
+
+def bench_citation_gat(dataset: str, epochs: int = 200, K: int = 8,
+                       min_val_acc: float = 0.6,
+                       min_test_acc: float = 0.6):
+    """Closure-path GAT 200-epoch training (the headline row)."""
+    import optax
+
+    from examples.gat import GAT
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.data.closure import (
+        layered_training_closure)
+    from pytorch_geometric_tpu.datasets import Planetoid
+    from pytorch_geometric_tpu.models.citation import (
+        masked_accuracy, masked_softmax_xent)
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+
+    ds = Planetoid("datasets_cache", dataset.capitalize(),
+                   transform=NormalizeFeatures())
+    graph = from_data(ds[0])
+    model = GAT(num_classes=ds.num_classes)
+    emask = np.asarray(graph.real_edge_mask())
+    ei = np.stack([np.asarray(graph.senders)[emask],
+                   np.asarray(graph.receivers)[emask]])
+    seeds = np.flatnonzero(np.asarray(graph.train_mask))
+    closure = layered_training_closure(ei, seeds, 2,
+                                       num_nodes=graph.num_nodes)
+    x_in = jnp.take(graph.x, closure[0].in_global, axis=0)
+    yv = jnp.asarray(np.asarray(graph.y)[seeds])
+    tmask = jnp.ones(seeds.shape[0], bool)
+    seeds_j = jnp.asarray(seeds)
+    key = jax.random.PRNGKey(0)
+    params0 = model.init({"params": key, "dropout": key}, graph, x_in,
+                         closure=closure)
+    tx = optax.adamw(5e-3, weight_decay=5e-4)
+    opt0 = tx.init(params0)
+    n_seed = int(tmask.shape[0])
+
+    def epoch_step(carry, _):
+        params, opt, key = carry
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            logits = model.apply(p, graph, x_in, train=True,
+                                 closure=closure,
+                                 rngs={"dropout": sub})[:n_seed]
+            return masked_softmax_xent(logits, yv, tmask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt, key), loss
+
+    @jax.jit
+    def run(params, opt, key):
+        def one(carry, i):
+            acc, p_keep, o_keep = carry
+            (p, o, _), losses = jax.lax.scan(
+                epoch_step, (params, opt, jax.random.fold_in(key, i)),
+                None, length=epochs)
+            return (acc + losses[-1], p, o), None
+        (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
+                                      jnp.arange(K))
+        logits_full = model.apply(p, graph, graph.x)
+        ev = {
+            "val_acc": masked_accuracy(logits_full, graph.y,
+                                       graph.val_mask),
+            "test_acc": masked_accuracy(logits_full, graph.y,
+                                        graph.test_mask),
+        }
+        logits_cl = model.apply(p, graph, x_in,
+                                closure=closure)[:n_seed]
+        gap = jnp.max(jnp.abs(logits_cl
+                              - jnp.take(logits_full, seeds_j, axis=0)))
+        return acc, ev, gap
+
+    secs, (_, ev, gap) = time_program(run, params0, opt0, key)
+    per = secs / K
+    val, test = float(ev["val_acc"]), float(ev["test_acc"])
+    gap = float(gap)
+    assert val > min_val_acc and test > min_test_acc, \
+        f"{dataset} gat held-out acc too low: val={val} test={test}"
+    assert gap < 1e-2, f"closure/full logit gap {gap}"
+    return emit(f"{dataset}_gat_{epochs}epoch_wallclock", per,
+                BASELINES[(dataset, "gat")],
+                {"val_acc": round(val, 4), "test_acc": round(test, 4),
+                 "closure_full_logit_gap": gap, "K": K})
+
+
+def bench_rgcn(epochs: int = 200, K: int = 4,
+               min_test_acc: float = 0.5):
+    """MUTAG-RDF RGCN 200-epoch full-batch (reference README.md:109-114:
+    2.14 s).  Full-scale entity graph (23644 nodes, 46 relations,
+    num_bases=30), closure training + full-graph eval."""
+    import optax
+
+    from examples.rgcn import Net
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.data.closure import (
+        layered_training_closure)
+    from pytorch_geometric_tpu.datasets import Entities
+    from pytorch_geometric_tpu.nn.conv.rgcn_conv import (
+        rgcn_closure_norm, rgcn_norm)
+
+    ds = Entities("datasets_cache_fullmutag", "MUTAG", scale=1.0)
+    data = ds[0]
+    graph = from_data(data)
+    y = graph.y
+    train_idx = np.asarray(data.train_idx)
+    test_idx = np.asarray(data.test_idx)
+    layers = layered_training_closure(
+        np.asarray(data.edge_index), train_idx, 2,
+        num_nodes=graph.num_nodes,
+        edge_type=np.asarray(data.edge_type))
+    norms = [rgcn_closure_norm(cl, 46) for cl in layers]
+    lab = jnp.asarray(np.asarray(y)[train_idx]).astype(jnp.int32)
+    lab_test = jnp.asarray(np.asarray(y)[test_idx]).astype(jnp.int32)
+    test_j = jnp.asarray(test_idx)
+    train_j = jnp.asarray(train_idx)
+    n_train = train_idx.shape[0]
+    full_norm = rgcn_norm(graph, graph.edge_type, 46)
+
+    model = Net(num_nodes=graph.num_nodes, num_relations=46,
+                num_classes=2)
+    params0 = model.init(jax.random.PRNGKey(0), None, None, None,
+                         closure=layers, norms=norms)
+    tx = optax.adam(0.01)
+    opt0 = tx.init(params0)
+
+    def epoch_step(carry, _):
+        params, opt = carry
+
+        def loss_fn(p):
+            logits = model.apply(p, None, None, None,
+                                 closure=layers, norms=norms)
+            logp = jax.nn.log_softmax(logits[:n_train])
+            return -jnp.mean(
+                jnp.take_along_axis(logp, lab[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt), loss
+
+    @jax.jit
+    def run(params, opt):
+        def one(carry, i):
+            acc, p_keep, o_keep = carry
+            (p, o), losses = jax.lax.scan(epoch_step, (params, opt),
+                                          None, length=epochs)
+            return (acc + losses[-1] * (1.0 + 0.0 * i), p, o), None
+        (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
+                                      jnp.arange(K, dtype=jnp.float32))
+        logits_full = model.apply(p, graph, None, full_norm)
+        test_acc = jnp.mean((jnp.argmax(
+            jnp.take(logits_full, test_j, axis=0), -1)
+            == lab_test).astype(jnp.float32))
+        logits_cl = model.apply(p, None, None, None, closure=layers,
+                                norms=norms)[:n_train]
+        gap = jnp.max(jnp.abs(
+            logits_cl - jnp.take(logits_full, train_j, axis=0)))
+        return acc, test_acc, gap
+
+    secs, (_, test_acc, gap) = time_program(run, params0, opt0)
+    per = secs / K
+    test_acc, gap = float(test_acc), float(gap)
+    assert test_acc > min_test_acc, f"rgcn test acc too low: {test_acc}"
+    assert gap < 1e-2, f"closure/full logit gap {gap}"
+    return emit(f"mutag_rgcn_{epochs}epoch_wallclock", per,
+                BASELINES[("mutag", "rgcn")],
+                {"test_acc": round(test_acc, 4),
+                 "closure_full_logit_gap": gap, "K": K})
+
+
+def run_headline_suite(epochs: int = 200):
+    """All 7 headline metrics; returns the list of emitted records."""
+    records = []
+    for ds in ("cora", "citeseer", "pubmed"):
+        records.append(bench_citation_gcn(ds, epochs))
+        records.append(bench_citation_gat(ds, epochs))
+    records.append(bench_rgcn(epochs))
+    return records
