@@ -503,11 +503,112 @@ def bench_edges_per_s(n=131_072, e=4_000_000, f=128, hidden=128,
         "detail": {"heads": H, "step_ms": round(t * 1e3, 2)}}))
 
 
+def bench_halo_scaling(n=65_536, e=1_000_000, f=64, communities=64):
+    """Edges/s scaling efficiency of the halo-partitioned 2-layer GCN
+    step over 1/2/4/8 mesh devices (north star: >= 75% efficiency).
+    On the single-chip TPU environment this measures the 1-device
+    point; run under XLA_FLAGS=--xla_force_host_platform_device_count=8
+    JAX_PLATFORMS=cpu for the virtual-mesh curve (mechanics + relative
+    scaling, not TPU-absolute numbers)."""
+    import optax  # noqa: F401
+
+    from jax.sharding import PartitionSpec as P
+
+    from pytorch_geometric_tpu.parallel import make_mesh
+    from pytorch_geometric_tpu.parallel.partition import (
+        halo_spmm,
+        partition_graph,
+    )
+
+    rng = np.random.default_rng(0)
+    comm = rng.integers(0, communities, n)
+    pos_of = np.empty(n, dtype=np.int64)
+    pos_of[np.argsort(comm, kind="stable")] = np.arange(n)
+    starts = np.searchsorted(np.sort(comm), np.arange(communities))
+    counts = np.bincount(comm, minlength=communities)
+    src = rng.integers(0, n, e)
+    intra = rng.random(e) < 0.9
+    c = comm[src]
+    dst = np.where(intra,
+                   starts[c] + (rng.random(e) * counts[c]).astype(
+                       np.int64),
+                   rng.integers(0, n, e))
+    senders, receivers = pos_of[src], dst
+    w = rng.normal(size=e).astype(np.float32)
+    x_np = rng.normal(size=(n, f)).astype(np.float32)
+    w1 = jnp.asarray(rng.normal(size=(f, f)).astype(np.float32) * 0.05)
+    K = 3
+    base_rate = None
+    results = {}
+    avail = len(jax.devices())
+    for P_dev in [p_ for p_ in (1, 2, 4, 8) if p_ <= avail]:
+        shards, (wl_np, wr_np) = partition_graph(
+            senders, receivers, n, P_dev, edge_weights=w,
+            locality=False)  # graph is pre-clustered
+        mesh = make_mesh((P_dev,), ("graph",),
+                         devices=jax.devices()[:P_dev])
+        tables = shards.device_arrays()
+        tkeys = sorted(tables)
+        x_sh = jnp.asarray(shards.shard_nodes(x_np))
+        wl, wr = jnp.asarray(wl_np), jnp.asarray(wr_np)
+        spec, rep = P("graph"), P()
+
+        def local(p1, x_l, wl_l, wr_l, *tvals):
+            t = {k: v[0] for k, v in zip(tkeys, tvals)}
+
+            def loss(p1):
+                h = halo_spmm(x_l[0] @ p1, (wl_l[0], wr_l[0]), t,
+                              "graph", shards.halo_size, P_dev)
+                h = jax.nn.relu(h)
+                h = halo_spmm(h @ p1, (wl_l[0], wr_l[0]), t, "graph",
+                              shards.halo_size, P_dev)
+                return jax.lax.psum(jnp.sum(h ** 2), "graph")
+
+            l, g = jax.value_and_grad(loss)(p1)
+            return l + jnp.sum(g) * 0
+
+        step = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(rep, spec, spec, spec) + (spec,) * len(tkeys),
+            out_specs=rep, check_vma=False)
+
+        @jax.jit
+        def run(p1, x_sh, wl, wr, *tvals):
+            def body(acc, i):
+                return acc + step(p1 * (1.0 + 1e-9 * i), x_sh, wl, wr,
+                                  *tvals), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(K, dtype=jnp.float32))
+            return out
+
+        tvals = [tables[k] for k in tkeys]
+        t = _time(run, w1, x_sh, wl, wr, *tvals) / K
+        rate = e / t
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * P_dev)
+        results[P_dev] = (rate, eff)
+        print(json.dumps({
+            "metric": f"halo_gcn_edges_per_s_{P_dev}dev",
+            "value": round(rate / 1e9, 4), "unit": "Gedge/s",
+            "vs_baseline": None,
+            "detail": {"step_ms": round(t * 1e3, 2),
+                       "scaling_efficiency": round(eff, 3),
+                       "halo_size": shards.halo_size,
+                       "boundary_size": shards.boundary_size}}))
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--skip-spmm", action="store_true")
+    p.add_argument("--scaling", action="store_true",
+                   help="halo scaling-efficiency curve only")
     args = p.parse_args()
+    if args.scaling:
+        bench_halo_scaling()
+        return
     datasets = ["cora"] if args.quick else ["cora", "citeseer", "pubmed"]
     for ds in datasets:
         for m in ["gcn", "gat"]:

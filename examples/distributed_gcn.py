@@ -40,7 +40,7 @@ def run(epochs: int = 30, hidden: int = 16, seed: int = 0):
     norm = gcn_norm(graph)
 
     n_dev = len(jax.devices())
-    shards, w_stacked = partition_graph(
+    shards, (wl_np, wr_np) = partition_graph(
         np.asarray(norm.senders), np.asarray(norm.receivers), N, n_dev,
         edge_weights=np.asarray(norm.weights))
     mesh = make_mesh(axis_names=("graph",))
@@ -53,7 +53,8 @@ def run(epochs: int = 30, hidden: int = 16, seed: int = 0):
     tm_sh = jnp.asarray(shards.shard_nodes(
         np.asarray(graph.train_mask)))
     te_sh = jnp.asarray(shards.shard_nodes(np.asarray(graph.test_mask)))
-    w_dev = jnp.asarray(w_stacked)
+    wl_dev = jnp.asarray(wl_np)
+    wr_dev = jnp.asarray(wr_np)
 
     F = graph.x.shape[1]
     C = int(np.asarray(graph.y).max()) + 1
@@ -73,13 +74,14 @@ def run(epochs: int = 30, hidden: int = 16, seed: int = 0):
         h = halo_spmm(h, w_l, t, "graph", shards.halo_size, n_dev)
         h = jax.nn.relu(h)
         h = h @ p["w2"] + p["b2"]
-        return halo_spmm(h, w_l, t, "graph", shards.halo_size, n_dev)
+        return halo_spmm(h, w_l, t, "graph", shards.halo_size,
+                         n_dev)
 
-    def local_step(p, opt, x_l, y_l, m_l, w_l, *tvals):
+    def local_step(p, opt, x_l, y_l, m_l, wl_l, wr_l, *tvals):
         t = {k: v[0] for k, v in zip(tkeys, tvals)}
 
         def loss_fn(p):
-            logits = local_forward(p, x_l[0], w_l[0], t)
+            logits = local_forward(p, x_l[0], (wl_l[0], wr_l[0]), t)
             logp = jax.nn.log_softmax(logits)
             nll = -jnp.take_along_axis(
                 logp, y_l[0][:, None].astype(jnp.int32), axis=1)[:, 0]
@@ -96,13 +98,14 @@ def run(epochs: int = 30, hidden: int = 16, seed: int = 0):
     rep = P()
     step = jax.jit(jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(rep, rep, spec, spec, spec, spec) + (spec,) * len(tkeys),
+        in_specs=(rep, rep, spec, spec, spec, spec, spec)
+        + (spec,) * len(tkeys),
         out_specs=(rep, rep, rep), check_vma=False))
 
     def accuracy(p, mask_sh):
-        def local_acc(x_l, y_l, m_l, w_l, *tvals):
+        def local_acc(x_l, y_l, m_l, wl_l, wr_l, *tvals):
             t = {k: v[0] for k, v in zip(tkeys, tvals)}
-            logits = local_forward(p, x_l[0], w_l[0], t)
+            logits = local_forward(p, x_l[0], (wl_l[0], wr_l[0]), t)
             pred = jnp.argmax(logits, axis=1)
             m = m_l[0]
             cor = jnp.sum((pred == y_l[0].astype(jnp.int32)) & m)
@@ -110,15 +113,17 @@ def run(epochs: int = 30, hidden: int = 16, seed: int = 0):
                     jax.lax.psum(jnp.sum(m), "graph"))
         fn = jax.jit(jax.shard_map(
             local_acc, mesh=mesh,
-            in_specs=(spec, spec, spec, spec) + (spec,) * len(tkeys),
+            in_specs=(spec, spec, spec, spec, spec)
+            + (spec,) * len(tkeys),
             out_specs=(rep, rep), check_vma=False))
-        c, t = fn(x_sh, y_sh, mask_sh, w_dev, *[tables[k] for k in tkeys])
+        c, t = fn(x_sh, y_sh, mask_sh, wl_dev, wr_dev,
+                  *[tables[k] for k in tkeys])
         return float(c) / max(float(t), 1.0)
 
     tvals = [tables[k] for k in tkeys]
     for epoch in range(1, epochs + 1):
-        params, opt, loss = step(params, opt, x_sh, y_sh, tm_sh, w_dev,
-                                 *tvals)
+        params, opt, loss = step(params, opt, x_sh, y_sh, tm_sh,
+                                 wl_dev, wr_dev, *tvals)
         if epoch % 10 == 0:
             print(f"Epoch {epoch:03d}, Loss {float(loss):.4f}, "
                   f"Test {accuracy(params, te_sh):.4f}")

@@ -3,27 +3,35 @@
 The reference has nothing beyond single-process DataParallel (SURVEY
 §2d); this is the TPU-native scaling path the north star requires:
 graphs too big for one chip are node-partitioned, each chip owns a
-contiguous node block plus the edges *received* by its block, and
-boundary ("halo") source-node features are exchanged over ICI before the
-local aggregation.
+block of nodes plus the edges *received* by its block, and boundary
+("halo") source-node features are exchanged over ICI before the local
+aggregation.
 
 Host-side (numpy, loader-time): :func:`partition_graph` builds per-chip
-CSR shards and halo index tables with static (padded) shapes.
+edge shards and halo index tables with static (padded) shapes —
+vectorised (one sort + one unique over the remote edges, no per-pair
+passes), with optional RCM relabelling (utils/reorder.py) so blocks cut
+few edges.
 
-Device-side (inside shard_map): two SpMM strategies —
+Device-side (inside shard_map), three SpMM strategies:
+
 - ``halo_spmm``      — all_to_all of exactly the needed boundary rows
-                       (padded per device pair), then one local
-                       gather/segment-sum.  Traffic ~ cut size.
-- ``allgather_spmm`` — all_gather the full node-feature shard ring;
-                       simplest, bandwidth ~ N*F, the fallback when the
-                       cut is dense.
+                       (padded per device pair: O(P^2 * Hmax) buffer).
+                       Local edges aggregate BEFORE the remote ones are
+                       consumed, so XLA overlaps the collective with the
+                       local segment-sum.
+- ``boundary_spmm``  — each device all_gathers the UNION of rows any
+                       peer needs (O(P * Bmax) buffer — immune to
+                       skewed pair sizes).  Same local/remote overlap.
+- ``allgather_spmm`` — all_gather the full feature shard ring; the
+                       fallback when the cut is dense.
 
-Both are differentiable end-to-end (XLA derives the collective
+All are differentiable end-to-end (XLA derives the collective
 transposes), so the full train step runs under one jit.
 """
 
 from dataclasses import dataclass, field
-from typing import List, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,161 +47,250 @@ def _cdiv(a, b):
 @dataclass(frozen=True)
 class GraphShards:
     """Static edge partition over P devices (all arrays stacked on a
-    leading P axis, ready to feed shard_map with P('graph') specs).
+    leading P axis, ready for shard_map with P('graph') specs).
 
-    nodes_per_shard: rows each device owns (padded; node g lives on
-      device g // nodes_per_shard at local row g % nodes_per_shard).
-    senders_owner/senders_slot: per local edge, the owner device of its
-      source node and the slot of that node in the halo recv buffer.
-    halo_send_idx: (P, P, H) local row ids this device must send to each
-      peer (padded with 0, masked by halo_send_mask).
+    Nodes are owned in contiguous blocks of the (optionally RCM-
+    relabelled) id space: relabelled node g lives on device g // S at
+    local row g % S.  ``perm`` maps new id -> original id (identity
+    when locality reordering is off); :meth:`shard_nodes` /
+    :meth:`unshard_nodes` apply it transparently.
+
+    Edges are split into LOCAL (source owned by the same device) and
+    REMOTE groups so the local aggregation can overlap the halo
+    collective.
     """
 
     num_devices: int
     nodes_per_shard: int
-    edges_per_shard: int
-    halo_size: int
-    # all numpy, shape leading dim = P
-    edge_src_owner: np.ndarray = field(repr=False)   # (P, E) int32
-    edge_src_slot: np.ndarray = field(repr=False)    # (P, E) int32
-    edge_src_row: np.ndarray = field(repr=False)     # (P, E) int32 (owner-local row)
-    edge_dst_local: np.ndarray = field(repr=False)   # (P, E) int32
-    edge_mask: np.ndarray = field(repr=False)        # (P, E) bool
-    halo_send_idx: np.ndarray = field(repr=False)    # (P, P, H) int32
-    halo_send_mask: np.ndarray = field(repr=False)   # (P, P, H) bool
+    halo_size: int          # per-(q, p) halo row budget (all_to_all)
+    boundary_size: int      # per-q boundary union budget (all_gather)
+    num_local_edges: int    # padded per-device local edge count
+    num_remote_edges: int
+    perm: np.ndarray = field(repr=False)            # (N,) new -> old
+    # local edges (P, El)
+    loc_src_row: np.ndarray = field(repr=False)
+    loc_dst: np.ndarray = field(repr=False)
+    loc_mask: np.ndarray = field(repr=False)
+    # remote edges (P, Er)
+    rem_owner: np.ndarray = field(repr=False)       # source owner q
+    rem_slot: np.ndarray = field(repr=False)        # slot in (q->p) halo
+    rem_bslot: np.ndarray = field(repr=False)       # slot in q's boundary
+    rem_src_row: np.ndarray = field(repr=False)     # owner-local row
+    rem_dst: np.ndarray = field(repr=False)
+    rem_mask: np.ndarray = field(repr=False)
+    # send tables
+    halo_send_idx: np.ndarray = field(repr=False)   # (P, P, H)
+    halo_send_mask: np.ndarray = field(repr=False)
+    boundary_send_idx: np.ndarray = field(repr=False)   # (P, B)
+    boundary_send_mask: np.ndarray = field(repr=False)
 
     def device_arrays(self):
-        return dict(
-            edge_src_owner=jnp.asarray(self.edge_src_owner),
-            edge_src_slot=jnp.asarray(self.edge_src_slot),
-            edge_src_row=jnp.asarray(self.edge_src_row),
-            edge_dst_local=jnp.asarray(self.edge_dst_local),
-            edge_mask=jnp.asarray(self.edge_mask),
-            halo_send_idx=jnp.asarray(self.halo_send_idx),
-            halo_send_mask=jnp.asarray(self.halo_send_mask),
-        )
+        return {k: jnp.asarray(getattr(self, k)) for k in (
+            "loc_src_row", "loc_dst", "rem_owner", "rem_slot",
+            "rem_bslot", "rem_src_row", "rem_dst",
+            "halo_send_idx", "boundary_send_idx")}
 
     def shard_nodes(self, x: np.ndarray) -> np.ndarray:
-        """(N, F) -> (P, nodes_per_shard, F) with zero padding."""
+        """(N, ...) original order -> (P, S, ...) relabelled + padded."""
         P, S = self.num_devices, self.nodes_per_shard
+        x = np.asarray(x)
         out = np.zeros((P * S,) + x.shape[1:], dtype=x.dtype)
-        out[: x.shape[0]] = x
+        out[: len(self.perm)] = x[self.perm]
         return out.reshape((P, S) + x.shape[1:])
 
     def unshard_nodes(self, x, num_nodes: int):
         flat = np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:])
-        return flat[:num_nodes]
+        out = np.empty((num_nodes,) + flat.shape[1:], flat.dtype)
+        out[self.perm] = flat[:num_nodes]
+        return out
+
+
+def _group_fill(values, group, num_groups, width, fill=0):
+    """Scatter ``values`` (sorted by group) into (num_groups, width)."""
+    counts = np.bincount(group, minlength=num_groups)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(values)) - starts[group]
+    out = np.full((num_groups, width), fill, values.dtype)
+    out[group, pos] = values
+    return out, counts, pos
 
 
 def partition_graph(senders, receivers, num_nodes: int, num_devices: int,
-                    edge_weights=None) -> Tuple[GraphShards, np.ndarray]:
-    """Contiguous node blocks; edges assigned to the receiver's owner.
+                    edge_weights=None, locality: bool = True,
+                    pad_multiple: int = 8
+                    ) -> Tuple[GraphShards, Tuple[np.ndarray, np.ndarray]]:
+    """Node-blocked edge partition (receiver's owner gets the edge).
 
-    Returns (shards, weights_stacked (P, E) float32 — caller's edge
-    weights routed to their shard slots, zeros on padding).
+    ``locality=True`` relabels nodes with reverse Cuthill–McKee first so
+    contiguous blocks cut few edges (utils/reorder.py); the returned
+    shards carry the permutation and apply it in shard/unshard.
+
+    Returns (shards, (w_local, w_remote)) — the caller's edge weights
+    routed to their shard slots ((P, El) and (P, Er) float32, zeros on
+    padding slots, so padding contributes nothing without masks).
+
+    Fully vectorised: one sort over the edges, one unique over the
+    remote edges — a 100k-node graph partitions in well under a second.
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     w = np.ones(senders.shape[0], np.float32) if edge_weights is None \
         else np.asarray(edge_weights, np.float32)
     P = num_devices
-    S = _cdiv(num_nodes, P)
+    N = int(num_nodes)
+    if locality and N > P:
+        from pytorch_geometric_tpu.utils.reorder import rcm_permutation
+        perm = np.asarray(rcm_permutation(senders, receivers, N))
+    else:
+        perm = np.arange(N)
+    inv = np.empty(N, np.int64)
+    inv[perm] = np.arange(N)
+    s = inv[senders]
+    r = inv[receivers]
+    S = _cdiv(N, P)
 
-    owner = receivers // S
-    # per-device edge lists
-    per_dev_edges: List[np.ndarray] = [
-        np.flatnonzero(owner == p) for p in range(P)]
-    E = max((len(e) for e in per_dev_edges), default=1)
-    E = max(E, 1)
+    own_dst = (r // S).astype(np.int64)
+    own_src = (s // S).astype(np.int64)
+    is_local = own_src == own_dst
 
-    # halo: for each (src_owner q -> dst p): unique source nodes
-    halo_lists = [[None] * P for _ in range(P)]
-    H = 1
-    for p in range(P):
-        eids = per_dev_edges[p]
-        src = senders[eids]
-        for q in range(P):
-            uniq = np.unique(src[src // S == q])
-            halo_lists[q][p] = uniq  # q sends these to p
-            H = max(H, len(uniq))
+    def pad_w(n):
+        return max(_cdiv(max(n, 1), pad_multiple) * pad_multiple, 1)
 
-    edge_src_owner = np.zeros((P, E), np.int32)
-    edge_src_slot = np.zeros((P, E), np.int32)
-    edge_src_row = np.zeros((P, E), np.int32)
-    edge_dst_local = np.zeros((P, E), np.int32)
-    edge_mask = np.zeros((P, E), bool)
-    weights = np.zeros((P, E), np.float32)
+    # ---- local edges: sort by owner, scatter into (P, El)
+    li = np.flatnonzero(is_local)
+    lorder = li[np.argsort(own_dst[li], kind="stable")]
+    lgrp = own_dst[lorder]
+    El = pad_w(int(np.bincount(lgrp, minlength=P).max()) if len(lorder)
+               else 1)
+    loc_src_row, _, lpos = _group_fill((s[lorder] % S).astype(np.int32),
+                                       lgrp, P, El)
+    loc_dst = np.zeros((P, El), np.int32)
+    loc_dst[lgrp, lpos] = (r[lorder] % S).astype(np.int32)
+    loc_mask = np.zeros((P, El), bool)
+    loc_mask[lgrp, lpos] = True
+    w_local = np.zeros((P, El), np.float32)
+    w_local[lgrp, lpos] = w[lorder]
+
+    # ---- remote edges: sort by (dst owner, src), one unique pass
+    ri = np.flatnonzero(~is_local)
+    rkey = own_dst[ri] * N + s[ri]
+    rorder = ri[np.argsort(rkey, kind="stable")]
+    rp = own_dst[rorder]
+    rs = s[rorder]
+    rq = own_src[rorder]
+
+    uniq, einv = np.unique(rp * N + rs, return_inverse=True)
+    up = uniq // N                   # dst owner per unique halo row
+    us = uniq % N                    # global src id
+    uq = us // S                     # src owner
+    # slot of each unique row within its (q -> p) halo list: uniq is
+    # sorted by (p, s) and q is monotone in s, so (p, q) groups are
+    # contiguous runs
+    pair = up * P + uq
+    pair_change = np.concatenate([[True], pair[1:] != pair[:-1]])
+    run_start = np.maximum.accumulate(
+        np.where(pair_change, np.arange(len(pair)), 0))
+    uslot = np.arange(len(pair)) - run_start
+    H = pad_w(int(uslot.max()) + 1 if len(uslot) else 1)
+
     halo_send_idx = np.zeros((P, P, H), np.int32)
     halo_send_mask = np.zeros((P, P, H), bool)
+    halo_send_idx[uq, up, uslot] = (us % S).astype(np.int32)
+    halo_send_mask[uq, up, uslot] = True
 
-    for q in range(P):
-        for p in range(P):
-            uniq = halo_lists[q][p]
-            halo_send_idx[q, p, : len(uniq)] = (uniq % S).astype(np.int32)
-            halo_send_mask[q, p, : len(uniq)] = True
+    # boundary union per source device q: unique src ids, grouped by q
+    bsrc = np.unique(us)
+    bq = bsrc // S
+    bstart = np.concatenate(
+        [[0], np.cumsum(np.bincount(bq, minlength=P))[:-1]])
+    bslot_of = np.arange(len(bsrc)) - bstart[bq]
+    B = pad_w(int(np.bincount(bq, minlength=P).max()) if len(bsrc)
+              else 1)
+    boundary_send_idx = np.zeros((P, B), np.int32)
+    boundary_send_mask = np.zeros((P, B), bool)
+    boundary_send_idx[bq, bslot_of] = (bsrc % S).astype(np.int32)
+    boundary_send_mask[bq, bslot_of] = True
+    # boundary slot per unique halo row (us is a subset order of bsrc)
+    ub = bslot_of[np.searchsorted(bsrc, us)]
 
-    for p in range(P):
-        eids = per_dev_edges[p]
-        n = len(eids)
-        src = senders[eids]
-        q_of = (src // S).astype(np.int32)
-        edge_src_owner[p, :n] = q_of
-        # slot of src within halo_lists[q][p]
-        slots = np.empty(n, np.int32)
-        for q in range(P):
-            m = q_of == q
-            if m.any():
-                slots[m] = np.searchsorted(
-                    halo_lists[q][p], src[m]).astype(np.int32)
-        edge_src_slot[p, :n] = slots
-        edge_src_row[p, :n] = (src % S).astype(np.int32)
-        edge_dst_local[p, :n] = (receivers[eids] % S).astype(np.int32)
-        edge_mask[p, :n] = True
-        weights[p, :n] = w[eids]
+    Er = pad_w(int(np.bincount(rp, minlength=P).max()) if len(rorder)
+               else 1)
+    rem_owner, _, rpos = _group_fill(uq[einv].astype(np.int32), rp, P, Er)
+    rem_slot = np.zeros((P, Er), np.int32)
+    rem_slot[rp, rpos] = uslot[einv].astype(np.int32)
+    rem_bslot = np.zeros((P, Er), np.int32)
+    rem_bslot[rp, rpos] = ub[einv].astype(np.int32)
+    rem_src_row = np.zeros((P, Er), np.int32)
+    rem_src_row[rp, rpos] = (rs % S).astype(np.int32)
+    rem_dst = np.zeros((P, Er), np.int32)
+    rem_dst[rp, rpos] = (r[rorder] % S).astype(np.int32)
+    rem_mask = np.zeros((P, Er), bool)
+    rem_mask[rp, rpos] = True
+    w_remote = np.zeros((P, Er), np.float32)
+    w_remote[rp, rpos] = w[rorder]
 
     shards = GraphShards(
-        num_devices=P, nodes_per_shard=S, edges_per_shard=E, halo_size=H,
-        edge_src_owner=edge_src_owner, edge_src_slot=edge_src_slot,
-        edge_src_row=edge_src_row,
-        edge_dst_local=edge_dst_local, edge_mask=edge_mask,
-        halo_send_idx=halo_send_idx, halo_send_mask=halo_send_mask)
-    return shards, weights
+        num_devices=P, nodes_per_shard=S, halo_size=H, boundary_size=B,
+        num_local_edges=El, num_remote_edges=Er, perm=perm,
+        loc_src_row=loc_src_row, loc_dst=loc_dst, loc_mask=loc_mask,
+        rem_owner=rem_owner, rem_slot=rem_slot, rem_bslot=rem_bslot,
+        rem_src_row=rem_src_row, rem_dst=rem_dst, rem_mask=rem_mask,
+        halo_send_idx=halo_send_idx, halo_send_mask=halo_send_mask,
+        boundary_send_idx=boundary_send_idx,
+        boundary_send_mask=boundary_send_mask)
+    return shards, (w_local, w_remote)
 
 
 # --- device-side (call inside shard_map over axis `axis`) -----------------
 
+def _local_part(x_local, w_local, tables, S):
+    msgs = jnp.take(x_local, tables["loc_src_row"], axis=0) \
+        * w_local[:, None]
+    return segment_sum(msgs, tables["loc_dst"], S)
+
+
 def halo_spmm(x_local, weights, tables, axis: str, halo_size: int,
               num_peers: int):
-    """out_local[r] = sum_e w_e * x[src_e] with remote sources fetched by
-    all_to_all of exactly the halo rows.
-
-    x_local: (S, F) this device's rows (leading P axis already split by
-    shard_map, i.e. arrays here carry no device axis).
-    tables: dict of this device's rows of the shard tables (see
-    GraphShards.device_arrays, each arriving as (1, ...) slices).
-    """
+    """out[r] = sum_e w_e x[src_e]; remote rows via all_to_all of the
+    per-pair halo lists.  ``weights`` = (w_local, w_remote) rows for
+    this device.  The local aggregation issues before the remote rows
+    are consumed, so the collective overlaps it."""
     S, F = x_local.shape
-    send_idx = tables["halo_send_idx"]      # (P, H) rows to send to peer
-    send_mask = tables["halo_send_mask"]
-    send_buf = jnp.take(x_local, send_idx.reshape(-1), axis=0)
-    send_buf = send_buf.reshape(num_peers, halo_size, F)
-    send_buf = send_buf * send_mask[..., None].astype(send_buf.dtype)
-    # all_to_all: slot p of my send buffer reaches device p; I receive
-    # each peer q's buffer-for-me at slot q.
+    w_local, w_remote = weights
+    send_buf = jnp.take(x_local, tables["halo_send_idx"].reshape(-1),
+                        axis=0).reshape(num_peers, halo_size, F)
     recv = jax.lax.all_to_all(send_buf, axis, split_axis=0,
                               concat_axis=0, tiled=False)
-    # recv: (P, H, F) — rows from owner q at [q, slot]
+    out = _local_part(x_local, w_local, tables, S)
     flat = recv.reshape(num_peers * halo_size, F)
-    src = tables["edge_src_owner"] * halo_size + tables["edge_src_slot"]
-    msgs = jnp.take(flat, src, axis=0) * weights[:, None]
-    return segment_sum(msgs, tables["edge_dst_local"], S)
+    src = tables["rem_owner"] * halo_size + tables["rem_slot"]
+    msgs = jnp.take(flat, src, axis=0) * w_remote[:, None]
+    return out + segment_sum(msgs, tables["rem_dst"], S)
+
+
+def boundary_spmm(x_local, weights, tables, axis: str,
+                  boundary_size: int):
+    """Remote rows via all_gather of each device's boundary UNION —
+    buffer O(P * Bmax) instead of O(P^2 * Hmax); the right choice when
+    pair sizes are skewed."""
+    S, F = x_local.shape
+    w_local, w_remote = weights
+    send_buf = jnp.take(x_local, tables["boundary_send_idx"], axis=0)
+    recv = jax.lax.all_gather(send_buf, axis)       # (P, B, F)
+    out = _local_part(x_local, w_local, tables, S)
+    flat = recv.reshape(-1, F)
+    src = tables["rem_owner"] * boundary_size + tables["rem_bslot"]
+    msgs = jnp.take(flat, src, axis=0) * w_remote[:, None]
+    return out + segment_sum(msgs, tables["rem_dst"], S)
 
 
 def allgather_spmm(x_local, weights, tables, axis: str):
     """Fallback: all_gather the full feature matrix then local SpMM."""
     S, F = x_local.shape
-    x_full = jax.lax.all_gather(x_local, axis)        # (P, S, F)
+    w_local, w_remote = weights
+    x_full = jax.lax.all_gather(x_local, axis)      # (P, S, F)
+    out = _local_part(x_local, w_local, tables, S)
     flat = x_full.reshape(-1, F)
-    src = tables["edge_src_owner"] * S + tables["edge_src_row"]
-    msgs = jnp.take(flat, src, axis=0) * weights[:, None]
-    return segment_sum(msgs, tables["edge_dst_local"], S)
+    src = tables["rem_owner"] * S + tables["rem_src_row"]
+    msgs = jnp.take(flat, src, axis=0) * w_remote[:, None]
+    return out + segment_sum(msgs, tables["rem_dst"], S)

@@ -1,6 +1,7 @@
 """Edge-partitioned multi-chip SpMM on the virtual 8-device mesh:
-halo all_to_all and all_gather strategies vs the single-device kernel,
-forward and backward."""
+halo all_to_all, boundary all_gather, and full all_gather strategies vs
+the single-device kernel, forward and backward, with and without RCM
+locality relabelling."""
 
 import jax
 import jax.numpy as jnp
@@ -12,101 +13,123 @@ from pytorch_geometric_tpu.ops.spmm import spmm
 from pytorch_geometric_tpu.parallel import make_mesh
 from pytorch_geometric_tpu.parallel.partition import (
     allgather_spmm,
+    boundary_spmm,
     halo_spmm,
     partition_graph,
 )
 
 
-@pytest.fixture(scope="module")
-def setup():
-    rng = np.random.default_rng(0)
-    N, E, F = 97, 600, 12
+def _problem(seed=0, N=97, E=600, F=12):
+    rng = np.random.default_rng(seed)
     senders = rng.integers(0, N, E)
     receivers = rng.integers(0, N, E)
     w = rng.normal(size=E).astype(np.float32)
     x = rng.normal(size=(N, F)).astype(np.float32)
-    n_dev = len(jax.devices())
-    shards, w_stacked = partition_graph(senders, receivers, N, n_dev,
-                                        edge_weights=w)
     want = np.asarray(spmm(jnp.asarray(senders), jnp.asarray(receivers),
                            jnp.asarray(x), N, weights=jnp.asarray(w)))
-    return shards, w_stacked, x, want, N
+    return senders, receivers, w, x, want, N
 
 
-def _run_sharded(shards, w_stacked, x, kernel):
+def _run_sharded(shards, w_lr, x, kernel):
     mesh = make_mesh(axis_names=("graph",))
     n_dev = shards.num_devices
     tables = shards.device_arrays()
+    tkeys = sorted(tables)
     x_sharded = jnp.asarray(shards.shard_nodes(x))
-    w_dev = jnp.asarray(w_stacked)
+    wl = jnp.asarray(w_lr[0])
+    wr = jnp.asarray(w_lr[1])
 
-    def fn(x_s, w_s, *table_vals):
-        t = {k: v[0] for k, v in zip(sorted(tables), table_vals)}
+    def fn(x_s, wl_s, wr_s, *table_vals):
+        t = {k: v[0] for k, v in zip(tkeys, table_vals)}
+        w = (wl_s[0], wr_s[0])
         if kernel == "halo":
-            out = halo_spmm(x_s[0], w_s[0], t, "graph",
-                            shards.halo_size, n_dev)
+            out = halo_spmm(x_s[0], w, t, "graph", shards.halo_size,
+                            n_dev)
+        elif kernel == "boundary":
+            out = boundary_spmm(x_s[0], w, t, "graph",
+                                shards.boundary_size)
         else:
-            out = allgather_spmm(x_s[0], w_s[0], t, "graph")
+            out = allgather_spmm(x_s[0], w, t, "graph")
         return out[None]
 
     spec = P("graph")
     sharded = jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(spec, spec) + (spec,) * len(tables),
+        in_specs=(spec, spec, spec) + (spec,) * len(tkeys),
         out_specs=spec, check_vma=False))
-    table_vals = [tables[k] for k in sorted(tables)]
-    out = sharded(x_sharded, w_dev, *table_vals)
+    out = sharded(x_sharded, wl, wr, *[tables[k] for k in tkeys])
     return shards.unshard_nodes(out, x.shape[0])
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual mesh")
-@pytest.mark.parametrize("kernel", ["halo", "allgather"])
-def test_sharded_spmm_matches_reference(setup, kernel):
-    shards, w_stacked, x, want, N = setup
-    got = _run_sharded(shards, w_stacked, x, kernel)
+@pytest.mark.parametrize("kernel", ["halo", "boundary", "allgather"])
+@pytest.mark.parametrize("locality", [False, True])
+def test_sharded_spmm_matches_reference(kernel, locality):
+    senders, receivers, w, x, want, N = _problem()
+    shards, w_lr = partition_graph(senders, receivers, N,
+                                   len(jax.devices()), edge_weights=w,
+                                   locality=locality)
+    got = _run_sharded(shards, w_lr, x, kernel)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual mesh")
-def test_halo_spmm_grad_flows(setup):
-    shards, w_stacked, x, want, N = setup
+def test_halo_spmm_grad_matches_single_device():
+    senders, receivers, w, x, want, N = _problem()
+    n_dev = len(jax.devices())
+    shards, w_lr = partition_graph(senders, receivers, N, n_dev,
+                                   edge_weights=w, locality=True)
     mesh = make_mesh(axis_names=("graph",))
-    n_dev = shards.num_devices
     tables = shards.device_arrays()
-    table_vals = [tables[k] for k in sorted(tables)]
+    tkeys = sorted(tables)
     spec = P("graph")
 
-    def fn(x_s, w_s, *tvals):
-        t = {k: v[0] for k, v in zip(sorted(tables), tvals)}
-        out = halo_spmm(x_s[0], w_s[0], t, "graph", shards.halo_size,
-                        n_dev)
+    def fn(x_s, wl_s, wr_s, *tvals):
+        t = {k: v[0] for k, v in zip(tkeys, tvals)}
+        out = halo_spmm(x_s[0], (wl_s[0], wr_s[0]), t, "graph",
+                        shards.halo_size, n_dev)
         return jax.lax.psum(jnp.sum(out ** 2), "graph")
 
     sharded = jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec) + (spec,) * len(tables),
+        fn, mesh=mesh, in_specs=(spec, spec, spec) + (spec,) * len(tkeys),
         out_specs=P(), check_vma=False)
 
-    def loss(x_full):
-        x_sh = x_full  # already sharded layout (P, S, F)
-        return sharded(x_sh, jnp.asarray(w_stacked), *table_vals)
+    wl, wr = jnp.asarray(w_lr[0]), jnp.asarray(w_lr[1])
+    tvals = [tables[k] for k in tkeys]
+
+    def loss(x_sharded):
+        return sharded(x_sharded, wl, wr, *tvals)
 
     x_sharded = jnp.asarray(shards.shard_nodes(x))
     g = jax.jit(jax.grad(loss))(x_sharded)
     g_flat = shards.unshard_nodes(g, x.shape[0])
 
-    # reference grad through single-device spmm
-    rng = np.random.default_rng(0)
-    senders = jnp.asarray(np.asarray(
-        np.repeat(0, 0)))  # rebuild from setup instead:
-    # recompute reference via dense adjacency
-    A = np.zeros((N, N))
-    for p in range(shards.num_devices):
-        for e in range(shards.edges_per_shard):
-            if shards.edge_mask[p, e]:
-                r = p * shards.nodes_per_shard + shards.edge_dst_local[p, e]
-                s = (shards.edge_src_owner[p, e] * shards.nodes_per_shard
-                     + shards.edge_src_row[p, e])
-                A[r, s] += w_stacked[p, e]
-    want_out = A @ x
-    want_grad = 2 * A.T @ want_out
+    # single-device reference: d/dx sum((A x)^2) = 2 A^T A x
+    def ref_loss(xr):
+        out = spmm(jnp.asarray(senders), jnp.asarray(receivers), xr, N,
+                   weights=jnp.asarray(w))
+        return jnp.sum(out ** 2)
+
+    want_grad = np.asarray(jax.grad(ref_loss)(jnp.asarray(x)))
     np.testing.assert_allclose(g_flat, want_grad, rtol=1e-3, atol=1e-3)
+
+
+def test_partition_speed_and_padding():
+    """A 100k-node graph partitions in seconds with bounded halo
+    padding (the round-1 version was O(P^2) passes over the edges)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    N, E = 100_000, 1_000_000
+    senders = rng.integers(0, N, E)
+    receivers = rng.integers(0, N, E)
+    t0 = time.perf_counter()
+    shards, w_lr = partition_graph(senders, receivers, N, 8,
+                                   locality=False)
+    dt = time.perf_counter() - t0
+    assert dt < 10.0, f"partition took {dt:.1f}s"
+    # every real edge routed exactly once
+    total = int(shards.loc_mask.sum() + shards.rem_mask.sum())
+    assert total == E
+    # boundary union is never larger than the per-pair halo total
+    assert shards.boundary_size <= 8 * shards.halo_size
