@@ -21,7 +21,18 @@ class Net(nn.Module):
 
     @nn.compact
     def __call__(self, graph, edge_type, norm=None, closure=None,
-                 norms=None):
+                 norms=None, fused_ops=None):
+        if fused_ops is not None:
+            # fused table-SpMM backends (sorted-scatter backward):
+            # nn/conv/rgcn_conv.rgcn_fused_op, one per layer
+            x = RGCNConv(self.num_nodes, 16, self.num_relations,
+                         num_bases=30, name="conv1")(
+                graph, None, edge_type, norm=norm,
+                fused_op=fused_ops[0])
+            x = nn.relu(x)
+            return RGCNConv(16, self.num_classes, self.num_relations,
+                            num_bases=30, name="conv2")(
+                graph, x, edge_type, norm=norm, fused_op=fused_ops[1])
         if closure is not None:
             # layered training-closure mode (data/closure.py): each
             # conv maps its layer's input node set to its output set

@@ -51,7 +51,14 @@ class RGCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, x=None, edge_type=None, norm=None,
-                 closure=None):
+                 closure=None, fused_op=None):
+        """``fused_op``: an :class:`~pytorch_geometric_tpu.ops.embed_spmm.
+        EmbedSpmm` bound to this graph's (fused id, receiver, norm)
+        structure — replaces the take+segment_sum pair with a single
+        table-SpMM whose backward is a sorted scatter (XLA's generic
+        scatter-add for d(table) costs ~170 ns/edge vs ~20 sorted).
+        The norm weights must be baked into the operator; build with
+        ``rgcn_fused_op``."""
         if closure is not None:
             return self._closure_call(closure, x, norm)
         N, C, R = graph.num_nodes, self.out_channels, self.num_relations
@@ -73,21 +80,35 @@ class RGCNConv(nn.Module):
         else:
             W = basis
 
-        if x is None:
+        if fused_op is not None and att is not None:
+            # basis-contraction aggregation (ops/embed_spmm.py
+            # RgcnBasisSpmm): per-edge att[et] . xB[src]; all backward
+            # scatters land in <= max(N, R) segments
+            if x is None:
+                xB2d = basis.transpose(1, 0, 2).reshape(F_in, B * C)
+            else:
+                xB2d = jnp.einsum(
+                    "nf,bfc->nbc", x, basis,
+                    preferred_element_type=jnp.float32).reshape(
+                        N, B * C)
+            out = fused_op(xB2d, att)
+        elif x is None:
             # embedding mode: message = row senders[e] of W[et[e]] —
             # one fused-id gather from the (R * F_in, C) table
-            rows = jnp.clip(graph.senders, 0, F_in - 1)
             table = W.reshape(R * F_in, C)
-            msgs = jnp.take(table, et * F_in + rows, axis=0)  # (E, C)
-            out = segment_sum(msgs * w_edge[:, None], graph.receivers, N)
+            rows = jnp.clip(graph.senders, 0, F_in - 1)
+            msgs = jnp.take(table, et * F_in + rows, axis=0)
+            out = segment_sum(msgs * w_edge[:, None],
+                              graph.receivers, N)
         elif C < F_in:
             # transform-first: per-(node, relation) outputs are smaller
             # than inputs, so project before the per-edge gather
             H = jnp.einsum("nf,rfc->nrc", x, W,
                            preferred_element_type=jnp.float32)
             msgs = jnp.take(H.reshape(N * R, C),
-                            graph.senders * R + et, axis=0)   # (E, C)
-            out = segment_sum(msgs * w_edge[:, None], graph.receivers, N)
+                            graph.senders * R + et, axis=0)
+            out = segment_sum(msgs * w_edge[:, None],
+                              graph.receivers, N)
         else:
             # aggregate-first (relation-bucketed), basis-combine after
             fused_rr = graph.receivers * R + et
@@ -166,6 +187,44 @@ class RGCNConv(nn.Module):
         if self.use_bias:
             out = out + self.param("bias", zeros, (C,))
         return out
+
+
+def rgcn_fused_op(graph: Graph, edge_type, num_relations: int,
+                  mode: str, in_channels: int = None, norm=None,
+                  backend: str = "xla", **kw):
+    """Build the :class:`EmbedSpmm` for one RGCNConv layer.
+
+    mode='embed'    — x=None layer: ids = relation * in_channels + sender
+                      over the (R * in_channels, C) weight table.
+    mode='transform'— transform-first layer: ids = sender * R + relation
+                      over the (N * R, C) per-node-relation table.
+
+    Mean normalisation (and padding-edge masking) is baked into the
+    operator's static weights; pass a precomputed ``rgcn_norm`` to
+    avoid recomputation.
+    """
+    import numpy as np
+
+    from pytorch_geometric_tpu.ops.embed_spmm import RgcnBasisSpmm
+
+    R = num_relations
+    et = np.asarray(edge_type if edge_type is not None
+                    else graph.edge_type).astype(np.int64)
+    w = np.asarray(norm if norm is not None
+                   else rgcn_norm(graph, jnp.asarray(et), R),
+                   dtype=np.float32)
+    s = np.asarray(graph.senders).astype(np.int64)
+    r = np.asarray(graph.receivers).astype(np.int64)
+    N = graph.num_nodes
+    src_rows = int(in_channels) if mode == "embed" else N
+    if backend == "packed":
+        # one-hot MXU gathers/scatters over packed edge tiles
+        # (ops/packed_rgcn.py) — RCM-relabel the graph first
+        from pytorch_geometric_tpu.ops.packed_rgcn import PackedRgcnSpmm
+        return PackedRgcnSpmm(s, r, et, R, N, weights=w,
+                              num_src_rows=src_rows, **kw)
+    return RgcnBasisSpmm(s, r, et, R, N, weights=w,
+                         num_src_rows=src_rows)
 
 
 def rgcn_closure_norm(cl, num_relations: int):
