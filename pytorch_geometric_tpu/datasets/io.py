@@ -186,3 +186,159 @@ def iter_zip_members(zip_path, suffix):
                 continue
             if name.endswith(suffix):
                 yield name, zf.read(name)
+
+
+def iter_tar_members(tar_path, suffix):
+    """Yield (name, bytes) for members of a tar archive (any
+    compression) with the given suffix, AppleDouble entries skipped."""
+    import tarfile
+
+    with tarfile.open(tar_path) as tf:
+        for m in tf.getmembers():
+            base = m.name.rsplit("/", 1)[-1]
+            if not m.isfile() or m.name.startswith("__MACOSX/") \
+                    or base.startswith("._"):
+                continue
+            if m.name.endswith(suffix):
+                yield m.name, tf.extractfile(m).read()
+
+
+_QM9_ELEMENTS = ("H", "C", "N", "O", "F")
+
+
+def read_qm9_xyz(text):
+    """Parse one GDB-9 .xyz record (the format of dsgdb9nsd.xyz.tar.bz2:
+    natoms / 'gdb <id> <15 scalar properties>' / natoms atom lines
+    'symbol x y z charge' with '*^' exponent quirks / frequencies /
+    SMILES / InChI).
+
+    Returns (x one-hot(5 elements), pos (n,3), y (1,19)) — y columns
+    0..11 are [mu, alpha, homo, lumo, gap, r2, zpve, U0, U, H, G, Cv]
+    (so the reference example's target 0 = dipole moment,
+    examples/qm9_nn_conv.py:55-57), 12..14 the rotational constants
+    A, B, C, remainder zero-padded.
+    """
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="ignore")
+    lines = text.splitlines()
+    n = int(lines[0].strip())
+    props = lines[1].replace("\t", " ").split()
+    vals = [float(v.replace("*^", "e")) for v in props[2:17]]
+    a_b_c, scalars = vals[:3], vals[3:]          # A B C then mu..Cv
+    y = np.zeros((1, 19), np.float32)
+    y[0, : len(scalars)] = scalars
+    y[0, 12:15] = a_b_c
+    x = np.zeros((n, len(_QM9_ELEMENTS)), np.float32)
+    pos = np.zeros((n, 3), np.float32)
+    for i in range(n):
+        f = lines[2 + i].replace("\t", " ").split()
+        x[i, _QM9_ELEMENTS.index(f[0])] = 1.0
+        pos[i] = [float(v.replace("*^", "e")) for v in f[1:4]]
+    return x, pos, y
+
+
+def qm9_distance_bonds(pos, cutoff: float = 1.7):
+    """Bond guess by interatomic distance (the xyz release carries no
+    bond table; the reference pipeline rebuilds a complete edge set +
+    Distance attributes anyway, examples/qm9_nn_conv.py:24-51).
+    Returns (edge_index (2, E) both directions, edge_attr one-hot(4)
+    distance bins)."""
+    n = pos.shape[0]
+    d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    s, r = np.nonzero((d < cutoff) & (d > 1e-6))
+    if len(s) == 0:                               # lone atom: self loop
+        s = r = np.zeros(1, np.int64)
+    bins = np.clip((d[s, r] / (cutoff / 4)).astype(np.int64), 0, 3)
+    ea = np.eye(4, dtype=np.float32)[bins]
+    return np.stack([s, r]), ea
+
+
+def parse_ntriples(text):
+    """Minimal N-Triples reader: yields (subject, predicate, object)
+    term strings (URIs without <>, literals with quotes stripped)."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="ignore")
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        terms = []
+        i = 0
+        while i < len(line) and len(terms) < 3:
+            if line[i] == "<":
+                j = line.index(">", i)
+                terms.append(line[i + 1: j])
+                i = j + 1
+            elif line[i] == '"':
+                j = i + 1
+                while j < len(line):
+                    if line[j] == '"' and line[j - 1] != "\\":
+                        break
+                    j += 1
+                lit = line[i + 1: j]
+                # skip datatype/lang suffix up to next whitespace
+                j += 1
+                while j < len(line) and line[j] not in " \t":
+                    j += 1
+                terms.append(lit)
+                i = j
+            elif line[i] in " \t.":
+                i += 1
+            else:                                  # blank node _:b0
+                j = i
+                while j < len(line) and line[j] not in " \t":
+                    j += 1
+                terms.append(line[i:j])
+                i = j
+        if len(terms) == 3:
+            yield tuple(terms)
+
+
+def parse_entities_rdf(nt_text, train_tsv, test_tsv, entity_col,
+                       label_col):
+    """RDF entity-classification corpus -> arrays (the PyG Entities
+    recipe, reference examples/rgcn.py:11): every subject/object is a
+    node, every predicate a relation; edges are added in both
+    directions with relation ids 2r / 2r+1; labels come from the
+    train/test TSVs' (entity_col, label_col) columns."""
+    import csv
+    import io as _io
+
+    triples = list(parse_ntriples(nt_text))
+    nodes, rels = {}, {}
+    for s, p, o in triples:
+        nodes.setdefault(s, len(nodes))
+        nodes.setdefault(o, len(nodes))
+        rels.setdefault(p, len(rels))
+    src, dst, et = [], [], []
+    for s, p, o in triples:
+        a, b, r = nodes[s], nodes[o], rels[p]
+        src += [a, b]
+        dst += [b, a]
+        et += [2 * r, 2 * r + 1]
+
+    def read_split(tsv):
+        if isinstance(tsv, bytes):
+            tsv = tsv.decode("utf-8")
+        rows = list(csv.DictReader(_io.StringIO(tsv), delimiter="\t"))
+        idx, labs = [], []
+        for row in rows:
+            ent = row[entity_col]
+            if ent in nodes:
+                idx.append(nodes[ent])
+                labs.append(row[label_col])
+        return idx, labs
+
+    tr_idx, tr_lab = read_split(train_tsv)
+    te_idx, te_lab = read_split(test_tsv)
+    classes = {c: i for i, c in enumerate(sorted(set(tr_lab + te_lab)))}
+    n = len(nodes)
+    y = np.full(n, -1, dtype=np.int64)
+    for i, lab in zip(tr_idx + te_idx, tr_lab + te_lab):
+        y[i] = classes[lab]
+    return dict(edge_index=np.stack([np.asarray(src), np.asarray(dst)]),
+                edge_type=np.asarray(et, np.int64), y=y,
+                train_idx=np.asarray(tr_idx, np.int64),
+                test_idx=np.asarray(te_idx, np.int64),
+                num_nodes=n, num_relations=2 * len(rels),
+                num_classes=len(classes))

@@ -29,8 +29,8 @@ class _OfflineSynthetic(InMemoryDataset):
             f.write("1")
 
     def _maybe_download(self):
-        from pytorch_geometric_tpu.data.dataset import files_exist
-        if files_exist(self.raw_paths) or \
+        # any one raw format suffices (real archives come in several)
+        if any(osp.exists(p) for p in self.raw_paths) or \
                 osp.exists(osp.join(self.raw_dir, "SYNTHETIC")):
             return
         makedirs(self.raw_dir)
@@ -51,9 +51,24 @@ class QM9(_OfflineSynthetic):
 
     @property
     def raw_file_names(self):
-        return ["qm9.npz"]
+        return ["qm9.npz", "dsgdb9nsd.xyz.tar.bz2"]
 
     def process_full(self):
+        if osp.exists(self.raw_paths[1]):
+            # the canonical GDB-9 release: one .xyz per molecule
+            # (reference dataset of examples/qm9_nn_conv.py:52)
+            from pytorch_geometric_tpu.datasets.io import (
+                iter_tar_members,
+                qm9_distance_bonds,
+                read_qm9_xyz,
+            )
+            out = []
+            for _, blob in iter_tar_members(self.raw_paths[1], ".xyz"):
+                x, pos, y = read_qm9_xyz(blob)
+                ei, ea = qm9_distance_bonds(pos)
+                out.append(Data(x=x, edge_index=ei, edge_attr=ea,
+                                pos=pos, y=y))
+            return out
         if not osp.exists(self.raw_paths[0]):
             self.is_synthetic = True
             rng = np.random.default_rng(17)
@@ -105,9 +120,14 @@ class Entities(_OfflineSynthetic):
         super().__init__(osp.join(root, "entities", self.name), transform,
                          pre_transform)
 
+    # TSV (entity column, label column) per corpus — the split-file
+    # schema of the RDF entity-classification release
+    TSV_COLS = {"mutag": ("bond", "label_mutagenic"),
+                "aifb": ("person", "label_affiliation")}
+
     @property
     def raw_file_names(self):
-        return [f"{self.name}.npz"]
+        return [f"{self.name}.npz", f"{self.name}.tgz"]
 
     @property
     def num_relations(self):
@@ -119,6 +139,34 @@ class Entities(_OfflineSynthetic):
 
     def process_full(self):
         n_full, R, C, n_lab = self.SHAPES[self.name]
+        if osp.exists(self.raw_paths[1]):
+            # real RDF release: <name>.tgz with <name>_stripped.nt.gz
+            # + trainingSet.tsv / testSet.tsv (reference
+            # examples/rgcn.py:11 Entities semantics)
+            import gzip
+
+            from pytorch_geometric_tpu.datasets.io import (
+                iter_tar_members,
+                parse_entities_rdf,
+            )
+            nt = train_tsv = test_tsv = None
+            for name, blob in iter_tar_members(self.raw_paths[1], ""):
+                if name.endswith(".nt.gz"):
+                    nt = gzip.decompress(blob)
+                elif name.endswith(".nt"):
+                    nt = blob
+                elif "trainingSet" in name:
+                    train_tsv = blob
+                elif "testSet" in name:
+                    test_tsv = blob
+            ent, lab = self.TSV_COLS.get(self.name, (None, None))
+            parsed = parse_entities_rdf(nt, train_tsv, test_tsv, ent,
+                                        lab)
+            n = parsed.pop("num_nodes")
+            parsed.pop("num_relations")
+            parsed.pop("num_classes")
+            return [Data(num_nodes_hint=np.zeros(n, dtype=np.int8),
+                         **parsed)]
         if not osp.exists(self.raw_paths[0]):
             self.is_synthetic = True
             n = max(int(n_full * self.scale), 64)
