@@ -233,6 +233,81 @@ def bench_citation_gat(dataset: str, epochs: int = 200, K: int = 8,
                  "closure_full_logit_gap": gap, "K": K})
 
 
+def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
+                                 K: int = 4, min_val_acc: float = 0.6,
+                                 min_test_acc: float = 0.6):
+    """FULL-GRAPH (non-closure) GAT 200-epoch training through the
+    packed-edge fused attention kernel (ops/packed_gat.py) after RCM
+    reordering — the kernel-capability row (VERDICT round 1, item 1);
+    the closure rows above remain the headline numbers."""
+    import optax
+
+    from examples.gat import GAT
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets import Planetoid
+    from pytorch_geometric_tpu.models.citation import (
+        masked_accuracy, masked_softmax_xent)
+    from pytorch_geometric_tpu.nn.conv import gat_dense_adj
+    from pytorch_geometric_tpu.ops.packed_gat import PackedFlashGat
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+    from pytorch_geometric_tpu.utils.reorder import reorder_graph
+
+    ds = Planetoid("datasets_cache", dataset.capitalize(),
+                   transform=NormalizeFeatures())
+    graph = from_data(reorder_graph(ds[0]))
+    flash_op = PackedFlashGat(np.asarray(gat_dense_adj(graph)),
+                              window=1024, tile=256)
+    model = GAT(num_classes=ds.num_classes)
+    key = jax.random.PRNGKey(0)
+    params0 = model.init({"params": key, "dropout": key}, graph,
+                         graph.x, flash_op=flash_op)
+    tx = optax.adamw(5e-3, weight_decay=5e-4)
+    opt0 = tx.init(params0)
+
+    def epoch_step(carry, _):
+        params, opt, key = carry
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            logits = model.apply(p, graph, graph.x, train=True,
+                                 flash_op=flash_op,
+                                 rngs={"dropout": sub})
+            return masked_softmax_xent(logits, graph.y,
+                                       graph.train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt, key), loss
+
+    @jax.jit
+    def run(params, opt, key):
+        def one(carry, i):
+            acc, p_keep, o_keep = carry
+            (p, o, _), losses = jax.lax.scan(
+                epoch_step, (params, opt, jax.random.fold_in(key, i)),
+                None, length=epochs)
+            return (acc + losses[-1], p, o), None
+        (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
+                                      jnp.arange(K))
+        logits = model.apply(p, graph, graph.x, flash_op=flash_op)
+        ev = {
+            "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),
+            "test_acc": masked_accuracy(logits, graph.y,
+                                        graph.test_mask),
+        }
+        return acc, ev
+
+    secs, (_, ev) = time_program(run, params0, opt0, key)
+    per = secs / K
+    val, test = float(ev["val_acc"]), float(ev["test_acc"])
+    assert val > min_val_acc and test > min_test_acc, \
+        f"{dataset} fullgraph gat acc too low: val={val} test={test}"
+    return emit(f"{dataset}_gat_fullgraph_{epochs}epoch_wallclock", per,
+                BASELINES[(dataset, "gat")],
+                {"val_acc": round(val, 4), "test_acc": round(test, 4),
+                 "K": K, "kernel": "packed_flash_gat"})
+
+
 def bench_rgcn(epochs: int = 200, K: int = 4,
                min_test_acc: float = 0.5):
     """MUTAG-RDF RGCN 200-epoch full-batch (reference README.md:109-114:
@@ -317,11 +392,107 @@ def bench_rgcn(epochs: int = 200, K: int = 4,
                  "closure_full_logit_gap": gap, "K": K})
 
 
-def run_headline_suite(epochs: int = 200):
-    """All 7 headline metrics; returns the list of emitted records."""
+def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
+                         min_test_acc: float = 0.5):
+    """FULL-GRAPH (non-closure) MUTAG-RDF RGCN through the fused
+    table-SpMM with sorted-scatter backward (ops/embed_spmm.py) —
+    the kernel-capability row (VERDICT round 1, item 2)."""
+    import optax
+
+    from examples.rgcn import Net
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets import Entities
+    from pytorch_geometric_tpu.nn.conv.rgcn_conv import (
+        rgcn_fused_op, rgcn_norm)
+
+    from pytorch_geometric_tpu.utils.reorder import rcm_permutation
+
+    ds = Entities("datasets_cache_fullmutag", "MUTAG", scale=1.0)
+    data = ds[0]
+    # RCM relabel so the packed kernels' edge buckets are dense; index-
+    # valued fields (train/test idx) are remapped through the inverse
+    ei = np.asarray(data.edge_index)
+    n_real = data.num_nodes
+    perm = rcm_permutation(ei[0], ei[1], n_real)
+    inv = np.empty(n_real, np.int64)
+    inv[perm] = np.arange(n_real)
+    data.edge_index = inv[ei]
+    data.y = np.asarray(data.y)[perm]
+    data.train_idx = inv[np.asarray(data.train_idx)]
+    data.test_idx = inv[np.asarray(data.test_idx)]
+    graph = from_data(data)
+    et = graph.extras["edge_type"]
+    norm = rgcn_norm(graph, et, 46)
+    norm_np = np.asarray(norm)
+    fused_ops = (
+        rgcn_fused_op(graph, et, 46, "embed",
+                      in_channels=graph.num_nodes, norm=norm_np,
+                      backend="packed"),
+        rgcn_fused_op(graph, et, 46, "transform", norm=norm_np,
+                      backend="packed"),
+    )
+    train_idx = jnp.asarray(np.asarray(data.train_idx))
+    test_idx = jnp.asarray(np.asarray(data.test_idx))
+    y = graph.y
+    model = Net(num_nodes=graph.num_nodes, num_relations=46,
+                num_classes=2)
+    params0 = model.init(jax.random.PRNGKey(0), graph, et, norm,
+                         fused_ops=fused_ops)
+    tx = optax.adam(0.01)
+    opt0 = tx.init(params0)
+
+    def epoch_step(carry, _):
+        params, opt = carry
+
+        def loss_fn(p):
+            logits = model.apply(p, graph, et, norm,
+                                 fused_ops=fused_ops)
+            logp = jax.nn.log_softmax(logits)
+            sel = jnp.take(logp, train_idx, axis=0)
+            lab = jnp.take(y, train_idx).astype(jnp.int32)
+            return -jnp.mean(
+                jnp.take_along_axis(sel, lab[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt), loss
+
+    @jax.jit
+    def run(params, opt):
+        def one(carry, i):
+            acc, p_keep, o_keep = carry
+            (p, o), losses = jax.lax.scan(epoch_step, (params, opt),
+                                          None, length=epochs)
+            return (acc + losses[-1] * (1.0 + 0.0 * i), p, o), None
+        (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
+                                      jnp.arange(K, dtype=jnp.float32))
+        logits = model.apply(p, graph, et, norm, fused_ops=fused_ops)
+        lab = jnp.take(y, test_idx).astype(jnp.int32)
+        test_acc = jnp.mean((jnp.argmax(
+            jnp.take(logits, test_idx, axis=0), -1)
+            == lab).astype(jnp.float32))
+        return acc, test_acc
+
+    secs, (_, test_acc) = time_program(run, params0, opt0)
+    per = secs / K
+    test_acc = float(test_acc)
+    assert test_acc > min_test_acc, f"rgcn test acc too low: {test_acc}"
+    return emit(f"mutag_rgcn_fullgraph_{epochs}epoch_wallclock", per,
+                BASELINES[("mutag", "rgcn")],
+                {"test_acc": round(test_acc, 4), "K": K,
+                 "kernel": "packed_rgcn"})
+
+
+def run_headline_suite(epochs: int = 200, fullgraph: bool = True):
+    """All 7 headline metrics (+ the full-graph GAT kernel rows);
+    returns the list of emitted records."""
     records = []
     for ds in ("cora", "citeseer", "pubmed"):
         records.append(bench_citation_gcn(ds, epochs))
         records.append(bench_citation_gat(ds, epochs))
     records.append(bench_rgcn(epochs))
+    if fullgraph:
+        for ds in ("cora", "citeseer", "pubmed"):
+            records.append(bench_citation_gat_fullgraph(ds, epochs))
+        records.append(bench_rgcn_fullgraph(epochs))
     return records
