@@ -145,3 +145,115 @@ def test_ppi_real_files(tmp_path):
     assert g1.x.shape == (n2, 50)
     # edges deduplicated + symmetrised, local indices
     assert np.asarray(g1.edge_index).max() < n2
+
+
+def _sparse_npz_fields(prefix, mat):
+    import scipy.sparse as sp
+    m = sp.csr_matrix(mat)
+    return {f"{prefix}_data": m.data, f"{prefix}_indices": m.indices,
+            f"{prefix}_indptr": m.indptr, f"{prefix}_shape": m.shape}
+
+
+def test_reddit_real_npz(tmp_path):
+    """GraphSAGE Reddit release: reddit_data.npz (feature/label/
+    node_types) + reddit_graph.npz (scipy adjacency)."""
+    import scipy.sparse as sp
+
+    from pytorch_geometric_tpu.datasets import Reddit
+
+    raw = tmp_path / "reddit" / "raw"
+    os.makedirs(raw)
+    rng = np.random.default_rng(0)
+    n = 30
+    np.savez(raw / "reddit_data.npz",
+             feature=rng.normal(size=(n, 602)).astype(np.float32),
+             label=rng.integers(0, 41, n),
+             node_types=rng.integers(1, 4, n))
+    adj = sp.random(n, n, density=0.2, format="csr",
+                    random_state=0)
+    sp.save_npz(raw / "reddit_graph.npz", adj)
+    ds = Reddit(str(tmp_path))
+    assert not ds.is_synthetic
+    d = ds[0]
+    assert d.x.shape == (n, 602)
+    assert int(np.asarray(d.train_mask).sum()
+               + np.asarray(d.val_mask).sum()
+               + np.asarray(d.test_mask).sum()) == n
+
+
+def test_amazon_and_corafull_real_npz(tmp_path):
+    """The .npz attribute/adjacency archives of the Amazon and CoraFull
+    releases (csr triplets + labels)."""
+    import scipy.sparse as sp
+
+    from pytorch_geometric_tpu.datasets import Amazon, CoraFull
+
+    rng = np.random.default_rng(1)
+    n = 25
+    adj = sp.random(n, n, density=0.2, random_state=1)
+    attr = sp.random(n, 40, density=0.3, random_state=2)
+    fields = {**_sparse_npz_fields("adj", adj),
+              **_sparse_npz_fields("attr", attr),
+              "labels": rng.integers(0, 5, n)}
+
+    raw = tmp_path / "amazon" / "computers" / "raw"
+    os.makedirs(raw)
+    np.savez(raw / "amazon_electronics_computers.npz", **fields)
+    ds = Amazon(str(tmp_path), "computers")
+    assert not ds.is_synthetic
+    assert ds[0].x.shape == (n, 40)
+
+    raw2 = tmp_path / "corafull" / "raw"
+    os.makedirs(raw2)
+    np.savez(raw2 / "cora_full.npz", **fields)
+    ds2 = CoraFull(str(tmp_path))
+    assert not ds2.is_synthetic
+    d = ds2[0]
+    assert d.x.shape == (n, 40) and np.asarray(d.y).shape == (n,)
+
+
+def test_planetoid_real_ind_files(tmp_path):
+    """The ind.<name>.{x,tx,allx,y,ty,ally,graph,test.index} pickle
+    family of the Planetoid release, byte-accurate tiny fixture."""
+    import pickle
+    from collections import defaultdict
+
+    import scipy.sparse as sp
+
+    from pytorch_geometric_tpu.datasets import Planetoid
+
+    raw = tmp_path / "Cora" / "raw"
+    os.makedirs(raw)
+    rng = np.random.default_rng(0)
+    n_train, n_test, n_other, f, c = 6, 4, 5, 8, 3
+    n = n_train + n_other + n_test
+    feats = rng.random((n, f)).astype(np.float32)
+    labels_int = rng.integers(0, c, n)
+    onehot = np.eye(c, dtype=np.int32)[labels_int]
+    # allx = first (train+other) rows; tx = test rows; test indices
+    # land at the END of the id space (the canonical layout)
+    allx = sp.csr_matrix(feats[: n_train + n_other])
+    tx = sp.csr_matrix(feats[n_train + n_other:])
+    x = sp.csr_matrix(feats[:n_train])
+    graph = defaultdict(list)
+    for _ in range(40):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            graph[int(a)].append(int(b))
+    for part, obj in (("x", x), ("tx", tx), ("allx", allx),
+                      ("y", onehot[:n_train]),
+                      ("ty", onehot[n_train + n_other:]),
+                      ("ally", onehot[: n_train + n_other]),
+                      ("graph", graph)):
+        with open(raw / f"ind.cora.{part}", "wb") as fh:
+            pickle.dump(obj, fh)
+    np.savetxt(raw / "ind.cora.test.index",
+               np.arange(n_train + n_other, n), fmt="%d")
+    ds = Planetoid(str(tmp_path), "Cora")
+    assert not ds.is_synthetic
+    d = ds[0]
+    assert d.x.shape == (n, f)
+    np.testing.assert_allclose(np.asarray(d.x), feats, rtol=1e-6)
+    assert int(np.asarray(d.train_mask).sum()) == n_train
+    assert int(np.asarray(d.test_mask).sum()) == n_test
+    np.testing.assert_array_equal(np.asarray(d.y), labels_int)
