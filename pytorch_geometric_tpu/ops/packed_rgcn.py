@@ -70,8 +70,7 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
     w = w_ref[row, :]
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
     g1 = (lsrc[:, None] == cols).astype(jnp.bfloat16)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
-    sc = (rows == ldst[None, :]).astype(jnp.bfloat16)
+    gd = (ldst[:, None] == cols).astype(jnp.bfloat16)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
     grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
     rep, tilec = _expand_mats(B, C)
@@ -87,8 +86,9 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
     prod = (ae_wide * xbe) * w[:, None]
     msg = jax.lax.dot(prod.astype(jnp.bfloat16), tilec.T,
                       preferred_element_type=jnp.float32)  # (tile, C)
-    contrib = jax.lax.dot(sc, msg.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+    contrib = jax.lax.dot_general(
+        gd, msg.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (window, C)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -113,8 +113,6 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
     gs = (lsend[:, None] == cols).astype(jnp.bfloat16)
     gr = (lrecv[:, None] == cols).astype(jnp.bfloat16)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
-    sc = (rows == lsend[None, :]).astype(jnp.bfloat16)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
     grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
 
@@ -135,11 +133,14 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref,
     dae = jax.lax.dot((xbe * ge_wide).astype(jnp.bfloat16), rep.T,
                       preferred_element_type=jnp.float32)  # (tile, B)
 
-    contrib_x = jax.lax.dot(sc, dxbe.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-    # relation scatter: (Rp, tile) one-hot @ (tile, B) on the MXU
-    contrib_a = jax.lax.dot(
-        grel.T, dae.astype(jnp.bfloat16),
+    # scatter by sender = the gather one-hot contracted on its
+    # tile axis (no second (tile, window) one-hot build)
+    contrib_x = jax.lax.dot_general(
+        gs, dxbe.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (window, BC)
+    # relation scatter: transposed-contract the relation one-hot
+    contrib_a = jax.lax.dot_general(
+        grel, dae.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # (Rp, B)
 
     @pl.when(first_ref[t] == 1)
