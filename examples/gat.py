@@ -44,16 +44,48 @@ class GAT(nn.Module):
         return x
 
 
+def make_flash_op(graph, backend: str = "auto"):
+    """Pick a fused attention backend for this graph:
+
+    - ``packed``: per-edge one-hot MXU kernels (ops/packed_gat.py) —
+      any N, O(E) work; the default (PubMed layer fwd+bwd 4.7 ms vs
+      25.7 for block-sparse masks at 0.05% intra-block density).
+    - ``bsr``: block-sparse masked kernels (ops/bsr_gat.py) — wins
+      when the RCM-ordered adjacency has dense blocks.
+    - ``dense``: the (N, N)-mask flash operator, small graphs only.
+    - ``none``: the XLA segment-softmax path.
+    """
+    import numpy as np
+
+    from pytorch_geometric_tpu.nn.conv import gat_dense_adj
+
+    if backend == "none":
+        return None
+    if backend in ("auto", "packed"):
+        from pytorch_geometric_tpu.ops.packed_gat import PackedFlashGat
+        return PackedFlashGat(np.asarray(gat_dense_adj(graph)),
+                              window=1024, tile=256)
+    if backend == "bsr":
+        from pytorch_geometric_tpu.ops.bsr_gat import BsrFlashGat
+        return BsrFlashGat(np.asarray(gat_dense_adj(graph)))
+    if backend == "dense":
+        from pytorch_geometric_tpu.ops.flash_gat import FlashGatOperator
+        assert graph.num_nodes <= 8192, "dense flash is N-capped"
+        return FlashGatOperator(gat_dense_adj(graph))
+    raise ValueError(backend)
+
+
 def run(dataset_name: str = "Cora", epochs: int = 200, seed: int = 0,
-        flash: bool = True):
+        backend: str = "auto"):
+    from pytorch_geometric_tpu.utils.reorder import reorder_graph
+
     ds = Planetoid("datasets_cache", dataset_name,
                    transform=NormalizeFeatures())
-    graph = from_data(ds[0])
-    flash_op = None
-    if flash and graph.num_nodes <= 32768:
-        from pytorch_geometric_tpu.nn.conv import gat_dense_adj
-        from pytorch_geometric_tpu.ops.flash_gat import FlashGatOperator
-        flash_op = FlashGatOperator(gat_dense_adj(graph))
+    data = ds[0]
+    if backend != "none":
+        data = reorder_graph(data)   # RCM: dense packed-kernel buckets
+    graph = from_data(data)
+    flash_op = make_flash_op(graph, backend)
     model = GAT(num_classes=ds.num_classes)
     key = jax.random.PRNGKey(seed)
     params = model.init({"params": key, "dropout": key}, graph, graph.x,
@@ -97,5 +129,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="Cora")
     p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "packed", "bsr", "dense", "none"])
     args = p.parse_args()
-    run(args.dataset, args.epochs)
+    run(args.dataset, args.epochs, backend=args.backend)
