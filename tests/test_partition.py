@@ -133,3 +133,96 @@ def test_partition_speed_and_padding():
     assert total == E
     # boundary union is never larger than the per-pair halo total
     assert shards.boundary_size <= 8 * shards.halo_size
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual mesh")
+def test_halo_training_loop_matches_single_device():
+    """Five optimisation steps of a 2-layer halo GCN == the same loop
+    on one device (beyond the one-step grad parity of the dryrun)."""
+    import optax
+
+    senders, receivers, w, x, _, N = _problem(N=80, E=400, F=8)
+    n_dev = len(jax.devices())
+    shards, w_lr = partition_graph(senders, receivers, N, n_dev,
+                                   edge_weights=w, locality=True)
+    mesh = make_mesh(axis_names=("graph",))
+    tables = shards.device_arrays()
+    tkeys = sorted(tables)
+    spec, rep = P("graph"), P()
+    rng = np.random.default_rng(1)
+    params0 = {
+        "w1": jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32)),
+        "w2": jnp.asarray(rng.normal(size=(6, 3)).astype(np.float32)),
+    }
+    y = rng.integers(0, 3, N).astype(np.int32)
+    tx = optax.adam(0.05)
+
+    def fwd_sharded(p, x_l, w2, t):
+        h = halo_spmm(x_l @ p["w1"], w2, t, "graph",
+                      shards.halo_size, n_dev)
+        h = jax.nn.relu(h)
+        return halo_spmm(h @ p["w2"], w2, t, "graph",
+                         shards.halo_size, n_dev)
+
+    def local_step(p, opt, x_l, y_l, wl_l, wr_l, *tvals):
+        t = {k: v[0] for k, v in zip(tkeys, tvals)}
+
+        def loss_fn(p):
+            logits = fwd_sharded(p, x_l[0], (wl_l[0], wr_l[0]), t)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, y_l[0][:, None],
+                                       axis=1)[:, 0]
+            return jax.lax.psum(jnp.sum(nll), "graph") / N
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        grads = jax.lax.pmean(grads, "graph")
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, rep, spec, spec, spec, spec)
+        + (spec,) * len(tkeys),
+        out_specs=(rep, rep, rep), check_vma=False))
+    x_sh = jnp.asarray(shards.shard_nodes(x))
+    y_sh = jnp.asarray(shards.shard_nodes(y))
+    wl, wr = jnp.asarray(w_lr[0]), jnp.asarray(w_lr[1])
+    tvals = [tables[k] for k in tkeys]
+    p_dist, opt = params0, tx.init(params0)
+    dist_losses = []
+    for _ in range(5):
+        p_dist, opt, loss = step(p_dist, opt, x_sh, y_sh, wl, wr,
+                                 *tvals)
+        dist_losses.append(float(loss))
+
+    # single-device reference loop
+    sj, rj = jnp.asarray(senders), jnp.asarray(receivers)
+    wj, xj = jnp.asarray(w), jnp.asarray(x)
+    yj = jnp.asarray(y)
+
+    @jax.jit
+    def ref_step(p, opt):
+        def loss_fn(p):
+            h = spmm(sj, rj, xj @ p["w1"], N, weights=wj)
+            h = jax.nn.relu(h)
+            h = spmm(sj, rj, h @ p["w2"], N, weights=wj)
+            logp = jax.nn.log_softmax(h)
+            nll = -jnp.take_along_axis(logp, yj[:, None], axis=1)[:, 0]
+            return jnp.sum(nll) / N
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    p_ref, opt_r = params0, tx.init(params0)
+    ref_losses = []
+    for _ in range(5):
+        p_ref, opt_r, loss = ref_step(p_ref, opt_r)
+        ref_losses.append(float(loss))
+
+    np.testing.assert_allclose(dist_losses, ref_losses, rtol=1e-4,
+                               atol=1e-5)
+    for k in params0:
+        np.testing.assert_allclose(np.asarray(p_dist[k]),
+                                   np.asarray(p_ref[k]), rtol=1e-3,
+                                   atol=1e-4)
