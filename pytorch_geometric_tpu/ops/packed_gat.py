@@ -105,13 +105,18 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
 def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
-                out_ref, *, H, C, rate, slope, tile, window, side):
+                out_ref, *maybe_dd, H, C, rate, slope, tile, window,
+                side, merge_dd=False):
     """Shared backward body over a pack.
 
     side='dst' (dst-major pack): scatter by ldst -> dd (window, H).
     side='src' (src-major pack): scatter by lsrc -> [ds | dh]
-    (window, H + HC).  The caller wires the window index maps so sh is
-    always gathered at sender windows and d/g at receiver windows.
+    (window, H + HC).  With ``merge_dd`` the src kernel ALSO emits dd
+    into a full-VMEM (npad, H) block via dynamic-slice accumulation at
+    the receiver-window offset — one backward kernel instead of two
+    when N is small enough for the block to fit VMEM.
+    The caller wires the window index maps so sh is always gathered at
+    sender windows and d/g at receiver windows.
     """
     t = pl.program_id(0)
     scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
@@ -171,6 +176,21 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     @pl.when(first_ref[t] == 0)
     def _():
         out_ref[:] = out_ref[:] + contrib
+
+    if merge_dd:
+        ddf_ref = maybe_dd[0]
+        dzpre = jnp.concatenate(dz_pieces, axis=1)     # (tile, H)
+        ddc = jax.lax.dot_general(
+            gd, dzpre.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (window, H)
+
+        @pl.when(t == 0)
+        def _():
+            ddf_ref[:] = jnp.zeros_like(ddf_ref)
+
+        off = dw_ref[t] * window
+        ddf_ref[pl.ds(off, window), :] = \
+            ddf_ref[pl.ds(off, window), :] + ddc
 
 
 class PackedFlashGat:
@@ -235,11 +255,13 @@ class PackedFlashGat:
                            if interpret is None else interpret)
         self._cache = {}
 
-    def _pallas(self, pk, kernel, n_out_cols, H, HC, with_g, out_on):
+    def _pallas(self, pk, kernel, n_out_cols, H, HC, with_g, out_on,
+                extra_full_out=None):
         """Build a pallas_call.  Scalar-prefetch order: (gw, dw, first,
         seed) where gw = sender-window ids (gathers s|h), dw =
         receiver-window ids (gathers d and grads); output block follows
-        ``out_on`` ('gw' or 'dw')."""
+        ``out_on`` ('gw' or 'dw').  ``extra_full_out``: column count of
+        an additional full-array (npad, cols) output block."""
         W, tile = pk.window, pk.tile
         T = pk.num_tiles
         ndw = max(pk.num_src_windows, pk.num_dst_windows)
@@ -260,13 +282,22 @@ class PackedFlashGat:
             pl.BlockSpec((8, tile), lambda t, *_: (t // 8, 0)),
             pl.BlockSpec((8, tile), lambda t, *_: (t // 8, 0)),
         ]
+        out_specs = pl.BlockSpec((W, n_out_cols), out_idx)
+        out_shape = jax.ShapeDtypeStruct((ndw * W, n_out_cols),
+                                         jnp.float32)
+        if extra_full_out is not None:
+            npad = ndw * W
+            out_specs = [out_specs,
+                         pl.BlockSpec((npad, extra_full_out),
+                                      lambda t, gw, dw, f, s: (0, 0))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((npad, extra_full_out),
+                                              jnp.float32)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4, grid=(T,), in_specs=in_specs,
-            out_specs=pl.BlockSpec((W, n_out_cols), out_idx))
+            out_specs=out_specs)
         return pl.pallas_call(
-            kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ndw * W, n_out_cols),
-                                           jnp.float32),
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=self._interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024))
@@ -282,14 +313,27 @@ class PackedFlashGat:
         fwd_call = self._pallas(
             self.fwd_pack, functools.partial(_fwd_kernel, **kw),
             HC + H, H, HC, with_g=False, out_on="dw")
-        bwd_dst_call = self._pallas(
-            self.fwd_pack,
-            functools.partial(_bwd_kernel, side="dst", **kw),
-            H, H, HC, with_g=True, out_on="dw")
-        bwd_src_call = self._pallas(
-            self.bwd_pack,
-            functools.partial(_bwd_kernel, side="src", **kw),
-            H + HC, H, HC, with_g=True, out_on="gw")
+        # dd is only (npad, H): when it fits VMEM comfortably, emit it
+        # from the src-pack backward kernel (dynamic-slice accumulation
+        # at receiver-window offsets) and skip the dst-pack pass
+        merge_dd = npad * H * 4 <= 8 * 1024 * 1024
+        if merge_dd:
+            bwd_dst_call = None
+            bwd_src_call = self._pallas(
+                self.bwd_pack,
+                functools.partial(_bwd_kernel, side="src",
+                                  merge_dd=True, **kw),
+                H + HC, H, HC, with_g=True, out_on="gw",
+                extra_full_out=H)
+        else:
+            bwd_dst_call = self._pallas(
+                self.fwd_pack,
+                functools.partial(_bwd_kernel, side="dst", **kw),
+                H, H, HC, with_g=True, out_on="dw")
+            bwd_src_call = self._pallas(
+                self.bwd_pack,
+                functools.partial(_bwd_kernel, side="src", **kw),
+                H + HC, H, HC, with_g=True, out_on="gw")
         dv_f, dv_b = self._dev["fwd"], self._dev["bwd"]
 
         def pad_rows(x):
@@ -316,14 +360,20 @@ class PackedFlashGat:
         def _raw_bwd(res, g_acc):
             sh, dp, m, seed_i = res
             gp = jnp.pad(g_acc, ((0, npad - n), (0, 0)))   # (npad, HC+H)
-            dd = bwd_dst_call(dv_f["send_win"], dv_f["recv_win"],
-                              dv_f["first"], seed_i,
-                              sh, dp, m, gp, dv_f["lsend"],
-                              dv_f["lrecv"], dv_f["eid"])
-            dsdh = bwd_src_call(dv_b["send_win"], dv_b["recv_win"],
-                                dv_b["first"], seed_i,
-                                sh, dp, m, gp, dv_b["lsend"],
-                                dv_b["lrecv"], dv_b["eid"])
+            if merge_dd:
+                dsdh, dd = bwd_src_call(
+                    dv_b["send_win"], dv_b["recv_win"], dv_b["first"],
+                    seed_i, sh, dp, m, gp, dv_b["lsend"],
+                    dv_b["lrecv"], dv_b["eid"])
+            else:
+                dd = bwd_dst_call(dv_f["send_win"], dv_f["recv_win"],
+                                  dv_f["first"], seed_i,
+                                  sh, dp, m, gp, dv_f["lsend"],
+                                  dv_f["lrecv"], dv_f["eid"])
+                dsdh = bwd_src_call(dv_b["send_win"], dv_b["recv_win"],
+                                    dv_b["first"], seed_i,
+                                    sh, dp, m, gp, dv_b["lsend"],
+                                    dv_b["lrecv"], dv_b["eid"])
             return (dd[:n], dsdh[:n, :H], dsdh[:n, H:],
                     jnp.zeros((), jnp.float32))
 
