@@ -68,6 +68,12 @@ def get_lib():
         lib.sample_neighbors.argtypes = [
             _I64, _I64, _I64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_uint64, _I64, _I64]
+        _I32 = ctypes.POINTER(ctypes.c_int32)
+        lib.pack_edges.restype = ctypes.c_int64
+        lib.pack_edges.argtypes = [
+            _I64, _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            _I32, _I32, _I32, _I32, _I32, _I32]
         _lib = lib
     except Exception as exc:  # no toolchain / build failure
         warnings.warn(f"graphcore native build unavailable ({exc}); "

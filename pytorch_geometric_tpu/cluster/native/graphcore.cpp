@@ -278,4 +278,101 @@ int64_t sample_neighbors(const int64_t* indptr, const int64_t* indices,
   return cnt;
 }
 
+// ---------------------------------------------------------------------------
+// Windowed edge packing (the loader-time hot loop of ops/pack.py).
+// Buckets edges by (dst window, src window), pads each bucket to `tile`
+// slots, and emits the per-tile arrays the Pallas one-hot kernels
+// consume.  The Python reference loops over buckets (O(#buckets) Python
+// iterations: ~10 s at 4M edges); this is a stable counting sort +
+// linear emit (~0.1 s).  Returns the tile count T, or -1 if the caller
+// buffers (capacity `max_tiles`) are too small.
+//
+// Output layout (caller-allocated):
+//   perm        (max_tiles * tile) int64 — edge id per slot, E = padding
+//   local_src   (max_tiles * tile) int64
+//   local_dst   (max_tiles * tile) int64
+//   tile_src_win / tile_dst_win / tile_first (max_tiles) int64
+// ---------------------------------------------------------------------------
+int64_t pack_edges(const int64_t* senders, const int64_t* receivers,
+                   int64_t num_edges, int64_t num_nodes,
+                   int64_t window, int64_t tile, int64_t max_tiles,
+                   int32_t* perm, int32_t* local_src, int32_t* local_dst,
+                   int32_t* tile_src_win, int32_t* tile_dst_win,
+                   int32_t* tile_first) {
+  // perm == nullptr: count-only mode (callers size the outputs exactly
+  // and avoid first-touch page faults on a worst-case allocation)
+  const bool count_only = perm == nullptr;
+  const int64_t n_w = (num_nodes + window - 1) / window;
+  const int64_t n_keys = n_w * n_w;
+  // stable counting sort of edge ids by key = dw * n_w + sw
+  std::vector<int64_t> count(n_keys + 1, 0);
+  std::vector<int64_t> key(num_edges);
+  const int64_t max_node = num_nodes > 0 ? num_nodes - 1 : 0;
+  auto clampn = [max_node](int64_t v) {
+    return v < 0 ? (int64_t)0 : (v > max_node ? max_node : v);
+  };
+  for (int64_t e = 0; e < num_edges; ++e) {
+    key[e] = (clampn(receivers[e]) / window) * n_w
+             + clampn(senders[e]) / window;
+    count[key[e] + 1]++;
+  }
+  std::partial_sum(count.begin(), count.end(), count.begin());
+  std::vector<int64_t> order(num_edges);
+  {
+    std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+    for (int64_t e = 0; e < num_edges; ++e) order[cursor[key[e]]++] = e;
+  }
+  // walk buckets in key order, emit padded tiles
+  int64_t T = 0;
+  int64_t prev_dw = -1;
+  std::vector<uint8_t> dw_seen(n_w, 0);
+  for (int64_t k = 0; k < n_keys; ++k) {
+    int64_t lo = count[k], hi = count[k + 1];
+    if (hi <= lo) continue;
+    const int64_t dw = k / n_w, sw = k % n_w;
+    dw_seen[dw] = 1;
+    for (int64_t start = lo; start < hi; start += tile) {
+      if (count_only) { ++T; continue; }
+      if (T >= max_tiles) return -1;
+      const int64_t cnt = std::min(tile, hi - start);
+      int32_t* pp = perm + T * tile;
+      int32_t* ps = local_src + T * tile;
+      int32_t* pd = local_dst + T * tile;
+      for (int64_t i = 0; i < cnt; ++i) {
+        const int64_t e = order[start + i];
+        pp[i] = (int32_t)e;
+        ps[i] = (int32_t)(clampn(senders[e]) % window);
+        pd[i] = (int32_t)(clampn(receivers[e]) % window);
+      }
+      for (int64_t i = cnt; i < tile; ++i) {
+        pp[i] = (int32_t)num_edges;
+        ps[i] = 0;
+        pd[i] = 0;
+      }
+      tile_src_win[T] = sw;
+      tile_dst_win[T] = dw;
+      tile_first[T] = (start == lo && dw != prev_dw) ? 1 : 0;
+      ++T;
+    }
+    prev_dw = dw;
+  }
+  // all-padding tiles for dst windows never visited (output init)
+  for (int64_t w = 0; w < n_w; ++w) {
+    if (dw_seen[w]) continue;
+    if (count_only) { ++T; continue; }
+    if (T >= max_tiles) return -1;
+    int32_t* pp = perm + T * tile;
+    for (int64_t i = 0; i < tile; ++i) {
+      pp[i] = (int32_t)num_edges;
+      local_src[T * tile + i] = 0;
+      local_dst[T * tile + i] = 0;
+    }
+    tile_src_win[T] = 0;
+    tile_dst_win[T] = w;
+    tile_first[T] = 1;
+    ++T;
+  }
+  return T;
+}
+
 }  // extern "C"

