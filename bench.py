@@ -24,7 +24,8 @@ def main():
     records = bc.run_headline_suite(epochs=200)
     speedups = [r["vs_baseline"] for r in records
                 if r["vs_baseline"] and "fullgraph" not in r["metric"]]
-    geo = math.exp(sum(math.log(s) for s in speedups) / len(speedups))
+    geo = (math.exp(sum(math.log(s) for s in speedups) / len(speedups))
+           if speedups else 0.0)
     print(json.dumps({
         "metric": "headline_geomean_speedup",
         "value": round(geo, 3),

@@ -41,7 +41,22 @@ def get_lib():
         if not osp.exists(_SO) or \
                 os.stat(_SRC).st_mtime > os.stat(_SO).st_mtime:
             _build()
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = _bind(ctypes.CDLL(_SO))
+        except (OSError, AttributeError):
+            # A stale .so (e.g. restored by a fresh checkout with equal
+            # mtimes) may miss newer symbols — rebuild once and retry.
+            _build()
+            lib = _bind(ctypes.CDLL(_SO))
+        _lib = lib
+    except Exception as exc:  # no toolchain / build failure
+        warnings.warn(f"graphcore native build unavailable ({exc}); "
+                      "using numpy fallbacks.")
+        _lib = None
+    return _lib
+
+
+def _bind(lib):
         lib.graclus_cluster.argtypes = [
             _I64, _I64, _F64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_uint64, _I64]
@@ -74,12 +89,7 @@ def get_lib():
             _I64, _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
             _I32, _I32, _I32, _I32, _I32, _I32]
-        _lib = lib
-    except Exception as exc:  # no toolchain / build failure
-        warnings.warn(f"graphcore native build unavailable ({exc}); "
-                      "using numpy fallbacks.")
-        _lib = None
-    return _lib
+        return lib
 
 
 def as_i64(a):

@@ -51,10 +51,28 @@ def _edge_keep_bits(seed, eid2d, hd):
     bits regardless of packing order."""
     x = (eid2d.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
          ^ (seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
-            + jnp.uint32(hd) * jnp.uint32(0x27D4EB2F)))
+            + hd.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)))
     x = (x ^ (x >> 15)) * jnp.uint32(0x2C1B3C6D)
     x = (x ^ (x >> 12)) * jnp.uint32(0x297A2D39)
     return x ^ (x >> 15)
+
+
+def _keep_mask(seed, eid2d, tile, H, thresh):
+    """(tile, H) keep mask for attention dropout — all heads hashed in
+    one vectorised pass (the per-head loop was H serial VPU ops)."""
+    hd = jax.lax.broadcasted_iota(jnp.int32, (tile, H), 1)
+    bits = _edge_keep_bits(seed, eid2d, hd)
+    return (bits >= jnp.uint32(thresh)).astype(jnp.float32)
+
+
+def _head_expand(H, C):
+    """Static (H, H*C) one-hot so per-head broadcast (tile, H) ->
+    (tile, H*C) runs as ONE MXU matmul instead of H unrolled
+    lane-sliced VPU multiplies (C < 128 wastes most lanes)."""
+    hc = H * C
+    h_of = jax.lax.broadcasted_iota(jnp.int32, (H, hc), 1) // C
+    return (jax.lax.broadcasted_iota(jnp.int32, (H, hc), 0)
+            == h_of).astype(jnp.bfloat16)
 
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
@@ -70,8 +88,6 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
     g1 = (lsrc[:, None] == cols).astype(jnp.bfloat16)
     gd = (ldst[:, None] == cols).astype(jnp.bfloat16)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
-    sc = (rows == ldst[None, :]).astype(jnp.bfloat16)
     em = (eid2d >= 0).astype(jnp.float32)                  # (tile, 1)
 
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
@@ -82,17 +98,18 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     z = a_s + a_d
     z = jnp.where(z > 0, z, slope * z) - m_ref[0:1, :]
     expv = jnp.exp(z) * em                                 # (tile, H)
-    pieces = []
-    for hd in range(H):
-        w_h = expv[:, hd:hd + 1]
-        if rate > 0:
-            bits = _edge_keep_bits(seed_ref[0], eid2d, hd)
-            w_h = jnp.where(bits >= jnp.uint32(thresh),
-                            w_h * scale, 0.0)
-        pieces.append(m_e[:, hd * C:(hd + 1) * C] * w_h)
-    payload = jnp.concatenate(pieces + [expv], axis=1)     # (tile, HC+H)
-    contrib = jax.lax.dot(sc, payload.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+    w = expv
+    if rate > 0:
+        w = w * (_keep_mask(seed_ref[0], eid2d, tile, H, thresh)
+                 * scale)
+    w_wide = jax.lax.dot(w.astype(jnp.bfloat16), _head_expand(H, C),
+                         preferred_element_type=jnp.float32)
+    payload = jnp.concatenate([m_e * w_wide, expv], axis=1)
+    # scatter by receiver = the gather one-hot contracted on its tile
+    # axis (no separate (window, tile) one-hot build)
+    contrib = jax.lax.dot_general(
+        gd, payload.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -128,9 +145,6 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
     g1 = (lsrc[:, None] == cols).astype(jnp.bfloat16)
     gd = (ldst[:, None] == cols).astype(jnp.bfloat16)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
-    scat_local = ldst if side == "dst" else lsrc
-    sc = (rows == scat_local[None, :]).astype(jnp.bfloat16)
     em = (eid2d >= 0).astype(jnp.float32)
 
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
@@ -147,27 +161,36 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     z = jnp.where(zpre > 0, zpre, slope * zpre) - m_ref[0:1, :]
     expv = jnp.exp(z) * em                                 # (tile, H)
 
-    dz_pieces, wg_pieces = [], []
-    for hd in range(H):
-        gn_h = gnum[:, hd * C:(hd + 1) * C]
-        dot = jnp.sum(gn_h * m_e[:, hd * C:(hd + 1) * C], axis=1,
-                      keepdims=True)                       # (tile, 1)
-        if rate > 0:
-            bits = _edge_keep_bits(seed_ref[0], eid2d, hd)
-            keep = (bits >= jnp.uint32(thresh)).astype(jnp.float32)
-            dexp = keep * scale * dot + gden[:, hd:hd + 1]
-            w_h = expv[:, hd:hd + 1] * keep * scale
-        else:
-            dexp = dot + gden[:, hd:hd + 1]
-            w_h = expv[:, hd:hd + 1]
-        dz_h = expv[:, hd:hd + 1] * dexp
-        dz_h = jnp.where(zpre[:, hd:hd + 1] > 0, dz_h, slope * dz_h)
-        dz_pieces.append(dz_h)
-        if side == "src":
-            wg_pieces.append(gn_h * w_h)
-    payload = jnp.concatenate(dz_pieces + wg_pieces, axis=1)
-    contrib = jax.lax.dot(sc, payload.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+    expand = _head_expand(H, C)                # (H, HC) one-hot
+    # per-head <gnum, m_e> row-dots as an MXU reduce over channels;
+    # two-term bf16 split keeps the pre-reduce products at ~fp32
+    # precision (a single bf16 round-off failed 3e-2 grad parity)
+    prod = gnum * m_e
+    p_hi = prod.astype(jnp.bfloat16)
+    p_lo = (prod - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = (jax.lax.dot(p_hi, expand.T,
+                       preferred_element_type=jnp.float32)
+           + jax.lax.dot(p_lo, expand.T,
+                         preferred_element_type=jnp.float32))
+    if rate > 0:
+        keep = _keep_mask(seed_ref[0], eid2d, tile, H, thresh)
+        dexp = keep * scale * dot + gden
+        w = expv * keep * scale
+    else:
+        dexp = dot + gden
+        w = expv
+    dz = expv * dexp
+    dz = jnp.where(zpre > 0, dz, slope * dz)               # (tile, H)
+    if side == "src":
+        w_wide = jax.lax.dot(w.astype(jnp.bfloat16), expand,
+                             preferred_element_type=jnp.float32)
+        payload = jnp.concatenate([dz, gnum * w_wide], axis=1)
+    else:
+        payload = dz
+    scat = g1 if side == "src" else gd
+    contrib = jax.lax.dot_general(
+        scat, payload.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -179,7 +202,7 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
     if merge_dd:
         ddf_ref = maybe_dd[0]
-        dzpre = jnp.concatenate(dz_pieces, axis=1)     # (tile, H)
+        dzpre = dz                                     # (tile, H)
         ddc = jax.lax.dot_general(
             gd, dzpre.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # (window, H)
