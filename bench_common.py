@@ -430,12 +430,15 @@ def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
     et = graph.extras["edge_type"]
     norm = rgcn_norm(graph, et, 46)
     norm_np = np.asarray(norm)
+    # (window=768, tile=192) won the tools/rgcn_sweep.py geometry scan:
+    # low pack inflation (1.29) with 56% of the (1024, 256) one-hot
+    # build cost — epoch 10.5 -> 8.5 ms
     fused_ops = (
         rgcn_fused_op(graph, et, 46, "embed",
                       in_channels=graph.num_nodes, norm=norm_np,
-                      backend="packed"),
+                      backend="packed", window=768, tile=192),
         rgcn_fused_op(graph, et, 46, "transform", norm=norm_np,
-                      backend="packed"),
+                      backend="packed", window=768, tile=192),
     )
     train_idx = jnp.asarray(np.asarray(data.train_idx))
     test_idx = jnp.asarray(np.asarray(data.test_idx))

@@ -215,6 +215,12 @@ def rgcn_fused_op(graph: Graph, edge_type, num_relations: int,
                    dtype=np.float32)
     s = np.asarray(graph.senders).astype(np.int64)
     r = np.asarray(graph.receivers).astype(np.int64)
+    # drop the loader's padding edges at build time: their norm weight
+    # is identically 0, but packed they cost real tiles (~20% of all
+    # tiles on MUTAG, whose edge count pads 142k -> 196k)
+    real = np.asarray(graph.real_edge_mask())
+    if not real.all():
+        s, r, et, w = s[real], r[real], et[real], w[real]
     N = graph.num_nodes
     src_rows = int(in_channels) if mode == "embed" else N
     if backend == "packed":

@@ -38,6 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pytorch_geometric_tpu.ops.kernel_util import edge_onehot, iota_rows
 from pytorch_geometric_tpu.ops.pack import pack_windows
 
 
@@ -77,7 +78,7 @@ def _head_expand(H, C):
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, lsrc_ref, ldst_ref, eid_ref,
-                out_ref, *, H, C, rate, slope, tile, window):
+                cols_ref, out_ref, *, H, C, rate, slope, tile, window):
     t = pl.program_id(0)
     scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     thresh = min(int(rate * 2 ** 32), 2 ** 32 - 1)
@@ -85,9 +86,8 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     lsrc = lsrc_ref[row, :]
     ldst = ldst_ref[row, :]
     eid2d = eid_ref[row, :][:, None]                       # (tile, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-    g1 = (lsrc[:, None] == cols).astype(jnp.bfloat16)
-    gd = (ldst[:, None] == cols).astype(jnp.bfloat16)
+    g1 = edge_onehot(lsrc, cols_ref, tile, window)
+    gd = edge_onehot(ldst, cols_ref, tile, window)
     em = (eid2d >= 0).astype(jnp.float32)                  # (tile, 1)
 
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
@@ -122,8 +122,8 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
 def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
-                out_ref, *maybe_dd, H, C, rate, slope, tile, window,
-                side, merge_dd=False):
+                cols_ref, out_ref, *maybe_dd, H, C, rate, slope, tile,
+                window, side, merge_dd=False):
     """Shared backward body over a pack.
 
     side='dst' (dst-major pack): scatter by ldst -> dd (window, H).
@@ -142,9 +142,8 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     lsrc = lsrc_ref[row, :]          # sender locals (gather s|h)
     ldst = ldst_ref[row, :]          # receiver locals (gather d|g)
     eid2d = eid_ref[row, :][:, None]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-    g1 = (lsrc[:, None] == cols).astype(jnp.bfloat16)
-    gd = (ldst[:, None] == cols).astype(jnp.bfloat16)
+    g1 = edge_onehot(lsrc, cols_ref, tile, window)
+    gd = edge_onehot(ldst, cols_ref, tile, window)
     em = (eid2d >= 0).astype(jnp.float32)
 
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
@@ -304,6 +303,7 @@ class PackedFlashGat:
             pl.BlockSpec((8, tile), lambda t, *_: (t // 8, 0)),
             pl.BlockSpec((8, tile), lambda t, *_: (t // 8, 0)),
             pl.BlockSpec((8, tile), lambda t, *_: (t // 8, 0)),
+            pl.BlockSpec((8, W), lambda t, *_: (0, 0)),
         ]
         out_specs = pl.BlockSpec((W, n_out_cols), out_idx)
         out_shape = jax.ShapeDtypeStruct((ndw * W, n_out_cols),
@@ -328,6 +328,7 @@ class PackedFlashGat:
     def _build(self, H: int, C: int, rate: float):
         HC = H * C
         W = self.window
+        cols = iota_rows(W)
         n = self.n
         nw = self.fwd_pack.num_src_windows
         npad = nw * W
@@ -377,7 +378,7 @@ class PackedFlashGat:
             acc = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], seed_i,
                            sh, dp, m, dv_f["lsend"], dv_f["lrecv"],
-                           dv_f["eid"])
+                           dv_f["eid"], cols)
             return acc[:n], (sh, dp, m, seed_i)
 
         def _raw_bwd(res, g_acc):
@@ -387,16 +388,16 @@ class PackedFlashGat:
                 dsdh, dd = bwd_src_call(
                     dv_b["send_win"], dv_b["recv_win"], dv_b["first"],
                     seed_i, sh, dp, m, gp, dv_b["lsend"],
-                    dv_b["lrecv"], dv_b["eid"])
+                    dv_b["lrecv"], dv_b["eid"], cols)
             else:
                 dd = bwd_dst_call(dv_f["send_win"], dv_f["recv_win"],
                                   dv_f["first"], seed_i,
                                   sh, dp, m, gp, dv_f["lsend"],
-                                  dv_f["lrecv"], dv_f["eid"])
+                                  dv_f["lrecv"], dv_f["eid"], cols)
                 dsdh = bwd_src_call(dv_b["send_win"], dv_b["recv_win"],
                                     dv_b["first"], seed_i,
                                     sh, dp, m, gp, dv_b["lsend"],
-                                    dv_b["lrecv"], dv_b["eid"])
+                                    dv_b["lrecv"], dv_b["eid"], cols)
             return (dd[:n], dsdh[:n, :H], dsdh[:n, H:],
                     jnp.zeros((), jnp.float32))
 

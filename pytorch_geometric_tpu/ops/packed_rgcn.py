@@ -33,6 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pytorch_geometric_tpu.ops.kernel_util import edge_onehot, iota_rows
 from pytorch_geometric_tpu.ops.pack import pack_windows
 
 
@@ -61,16 +62,15 @@ def _expand_mats(B, C):
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref,
                 xb_ref, att_ref, lsrc_ref, ldst_ref, rel_ref, w_ref,
-                out_ref, *, B, C, Rp, tile, window):
+                cols_ref, out_ref, *, B, C, Rp, tile, window):
     t = pl.program_id(0)
     row = t % 8
     lsrc = lsrc_ref[row, :]
     ldst = ldst_ref[row, :]
     rel = rel_ref[row, :]
     w = w_ref[row, :]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-    g1 = (lsrc[:, None] == cols).astype(jnp.bfloat16)
-    gd = (ldst[:, None] == cols).astype(jnp.bfloat16)
+    g1 = edge_onehot(lsrc, cols_ref, tile, window)
+    gd = edge_onehot(ldst, cols_ref, tile, window)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
     grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
     rep, tilec = _expand_mats(B, C)
@@ -101,7 +101,8 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
 
 def _bwd_kernel(gw_ref, dw_ref, first_ref,
                 xb_ref, att_ref, g_ref, lsend_ref, lrecv_ref, rel_ref,
-                w_ref, dxb_ref, datt_ref, *, B, C, Rp, tile, window):
+                w_ref, cols_ref, dxb_ref, datt_ref,
+                *, B, C, Rp, tile, window):
     """Runs over the SRC-major pack: gw = sender windows (gather xB,
     scatter dxB), dw = receiver windows (gather g)."""
     t = pl.program_id(0)
@@ -110,9 +111,8 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref,
     lrecv = lrecv_ref[row, :]
     rel = rel_ref[row, :]
     w = w_ref[row, :]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-    gs = (lsend[:, None] == cols).astype(jnp.bfloat16)
-    gr = (lrecv[:, None] == cols).astype(jnp.bfloat16)
+    gs = edge_onehot(lsend, cols_ref, tile, window)
+    gr = edge_onehot(lrecv, cols_ref, tile, window)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
     grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
 
@@ -233,6 +233,7 @@ class PackedRgcnSpmm:
         kw = dict(B=B, C=C, Rp=Rp, tile=tile, window=W)
         cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
         BC = B * C
+        cols = iota_rows(W)
 
         def build_call(pk, kernel, extra_g, out_specs, out_shapes):
             T = pk.num_tiles
@@ -246,6 +247,8 @@ class PackedRgcnSpmm:
                     (W, C), lambda t, gw, dw, f: (dw[t], 0)))    # g
             in_specs += [pl.BlockSpec((8, tile), lambda t, *_:
                                       (t // 8, 0))] * 4
+            in_specs.append(pl.BlockSpec((8, W),
+                                         lambda t, *_: (0, 0)))
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3, grid=(T,), in_specs=in_specs,
                 out_specs=out_specs)
@@ -282,7 +285,8 @@ class PackedRgcnSpmm:
             ap = pad_rows(att, Rp).astype(jnp.bfloat16)
             out = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], xp, ap, dv_f["lsend"],
-                           dv_f["lrecv"], dv_f["rel"], dv_f["w"])
+                           dv_f["lrecv"], dv_f["rel"], dv_f["w"],
+                           cols)
             return out[:n], (xp, ap)
 
         R = self.R
@@ -293,7 +297,7 @@ class PackedRgcnSpmm:
             dxb, datt = bwd_call(dv_b["send_win"], dv_b["recv_win"],
                                  dv_b["first"], xp, ap, gp,
                                  dv_b["lsend"], dv_b["lrecv"],
-                                 dv_b["rel"], dv_b["w"])
+                                 dv_b["rel"], dv_b["w"], cols)
             return dxb[:ns], datt[:R]
 
         f.defvjp(_fwd, _bwd)
