@@ -9,6 +9,7 @@ RetainNetworkSize), so the net can be rebuilt smaller after SVD pruning
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -54,15 +55,21 @@ class PrunableGAT(nn.Module):
     dropout: float = 0.6
 
     @nn.compact
-    def __call__(self, graph: Graph, x, *, train: bool = False):
+    def __call__(self, graph: Graph, x, *, train: bool = False,
+                 flash_op=None):
+        # ``flash_op`` (a PackedFlashGat / FlashGat built once per graph)
+        # routes every layer through the fused Pallas attention backends
+        # (ops/packed_gat.py) instead of the generic segment-softmax path
         for i, w in enumerate(self.widths):
             x = GATConv(max(w // self.heads, 1), heads=self.heads,
                         dropout=self.dropout,
-                        name=f"layers_{i}")(graph, x, train=train)
+                        name=f"layers_{i}")(graph, x, train=train,
+                                            flash_op=flash_op)
             x = nn.elu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return GATConv(self.num_classes, heads=1, concat=False,
-                       name="out")(graph, x, train=train)
+                       name="out")(graph, x, train=train,
+                                   flash_op=flash_op)
 
 
 class PrunableCheb(nn.Module):
@@ -96,6 +103,38 @@ class PrunableAGNN(nn.Module):
             x = AGNNConv(requires_grad=True, name=f"prop_{i}")(graph, x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.num_classes, name="out")(x)
+
+
+class PrunableSpline(nn.Module):
+    """SplineConv stack with per-layer widths (reference SplineNet,
+    ConvexPruning.py:278-299 — dim=1, kernel_size=2, swish
+    ``x * sigmoid(x)`` activations between layers).
+
+    Citation graphs carry no geometric edge attributes; absent
+    ``graph.edge_attr`` the pseudo-coordinates default to 0.5 (the
+    centre of the open-spline domain), matching the constant-pseudo
+    usage of the upstream Cora SplineConv example.
+    """
+
+    widths: Tuple[int, ...]
+    num_classes: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, graph: Graph, x, *, train: bool = False):
+        pseudo = graph.edge_attr
+        if pseudo is None:
+            pseudo = jnp.full((graph.senders.shape[0], 1), 0.5,
+                              jnp.float32)
+        elif pseudo.ndim == 1:
+            pseudo = pseudo[:, None]
+        for i, w in enumerate(self.widths):
+            x = SplineConv(w, dim=pseudo.shape[1], kernel_size=2,
+                           name=f"layers_{i}")(graph, x, pseudo=pseudo)
+            x = x * jax.nn.sigmoid(x)
+        return SplineConv(self.num_classes, dim=pseudo.shape[1],
+                          kernel_size=2, name="out")(graph, x,
+                                                     pseudo=pseudo)
 
 
 class PrunableTopK(nn.Module):
@@ -133,6 +172,7 @@ MODEL_ZOO = {
     "GAT": PrunableGAT,
     "Cheb": PrunableCheb,
     "AGNN": PrunableAGNN,
+    "Spline": PrunableSpline,
     "TopK": PrunableTopK,
 }
 

@@ -45,7 +45,8 @@ from pytorch_geometric_tpu.research.spectral import weight_correction
 from pytorch_geometric_tpu.transforms import NormalizeFeatures
 
 
-GRAPH_CLS_DATASETS = ("enzymes", "mutag", "proteins", "dd", "collab")
+GRAPH_CLS_DATASETS = ("enzymes", "mutag", "proteins", "dd", "collab",
+                      "mnist")
 
 
 def load_citation_dataset(name: str, root: str = "datasets_cache"):
@@ -86,11 +87,17 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
                correction_epochs: Optional[Sequence[int]] = None,
                correction_kwargs: Optional[dict] = None,
                ckpt: Optional[CheckpointManager] = None,
-               run_key: str = "run", monte: int = 0
+               run_key: str = "run", monte: int = 0,
+               apply_kwargs: Optional[dict] = None
                ) -> TrainPartResult:
     """One training phase (reference TrainPart :47-95): scan-jitted
     epochs, interrupted at ``correction_epochs`` for host-side spectral
-    weight correction, checkpointing on best val accuracy."""
+    weight correction, checkpointing on best val accuracy.
+
+    ``apply_kwargs`` are forwarded to every ``model.apply`` — e.g.
+    ``{"flash_op": PackedFlashGat(...)}`` routes GAT layers through the
+    fused Pallas attention backends."""
+    ak = apply_kwargs or {}
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(seed + monte)
@@ -101,7 +108,7 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
 
         def loss_fn(p):
             logits = model.apply(p, graph, graph.x, train=True,
-                                 rngs={"dropout": sub})
+                                 rngs={"dropout": sub}, **ak)
             return masked_softmax_xent(logits, graph.y, graph.train_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -118,7 +125,7 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
 
     @jax.jit
     def evaluate(params):
-        logits = model.apply(params, graph, graph.x)
+        logits = model.apply(params, graph, graph.x, **ak)
         return (masked_accuracy(logits, graph.y, graph.train_mask),
                 masked_accuracy(logits, graph.y, graph.val_mask),
                 masked_accuracy(logits, graph.y, graph.test_mask))
@@ -299,9 +306,16 @@ def training_net_graphcls(dataset: str, model_name: str = "TopK",
     ``DataParallel`` (ConvexPruning.py:530-531,559-560)."""
     from pytorch_geometric_tpu.data import DataListLoader, DataLoader
     from pytorch_geometric_tpu.data.batch import bucket_size
-    from pytorch_geometric_tpu.datasets import TUDataset
+    from pytorch_geometric_tpu.datasets import MNISTSuperpixels, TUDataset
 
-    ds = TUDataset("datasets_cache", dataset.upper())
+    if dataset.lower() == "mnist":
+        # reference MNISTSuperpixels dispatch (ConvexPruning.py:515):
+        # 75-node superpixel graphs with Cartesian edge pseudo-coords
+        from pytorch_geometric_tpu.transforms import Cartesian
+        ds = MNISTSuperpixels("datasets_cache", train=True,
+                              transform=Cartesian())
+    else:
+        ds = TUDataset("datasets_cache", dataset.upper())
     num_classes = ds.num_classes
     ckpt = CheckpointManager(ckpt_dir)
     out_dir = osp.join(results_dir, f"{dataset.upper()}Convergence")
@@ -370,6 +384,121 @@ def training_net_graphcls(dataset: str, model_name: str = "TopK",
     return results
 
 
+def training_net_ppi(model_name: str = "GCN", num_layers: int = 2,
+                     con_coeff: float = 0.6, alpha: float = 0.5,
+                     epochs: int = 20, fine_tune_epochs: int = 20,
+                     batch_size: int = 2, lr: float = 5e-3,
+                     monte_size: int = 1, seed: int = 0,
+                     results_dir: str = "Results",
+                     ckpt_dir: str = "checkpoint"):
+    """PPI pipeline (reference dispatch ConvexPruning.py:492-501):
+    inductive multi-label node classification over the 20/2/2 graph
+    split with BCE-with-logits loss and micro-F1 eval, run through the
+    same two-phase prune/fine-tune loop as the citation pipeline."""
+    from pytorch_geometric_tpu.data import DataLoader
+    from pytorch_geometric_tpu.datasets import PPI
+
+    train_ds = PPI("datasets_cache", split="train")
+    test_ds = PPI("datasets_cache", split="test")
+    num_classes = train_ds.num_classes
+    ckpt = CheckpointManager(ckpt_dir)
+    out_dir = osp.join(results_dir, "PPIConvergence")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def bce_loss(model):
+        def loss_fn(p, graph, rng):
+            logits = model.apply(p, graph, graph.x, train=True,
+                                 rngs={"dropout": rng})
+            y = graph.y.astype(jnp.float32)              # (N, C) multi
+            per = optax.sigmoid_binary_cross_entropy(logits, y)
+            m = graph.real_node_mask().astype(jnp.float32)[:, None]
+            return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * y.shape[1],
+                                                  1.0)
+        return loss_fn
+
+    def fit(model, params, n_epochs, sd, rk):
+        tx = optax.adam(lr)
+        opt_state = tx.init(params)
+        key = jax.random.PRNGKey(sd)
+        loss_fn = bce_loss(model)
+
+        @jax.jit
+        def step(params, opt_state, graph, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, graph, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def eval_batch(params, graph):
+            logits = model.apply(params, graph, graph.x)
+            pred = logits > 0
+            y = graph.y > 0.5
+            m = graph.real_node_mask()[:, None]
+            tp = jnp.sum(pred & y & m)
+            fp = jnp.sum(pred & ~y & m)
+            fn = jnp.sum(~pred & y & m)
+            return tp, fp, fn
+
+        train_loader = DataLoader(train_ds, batch_size=batch_size,
+                                  shuffle=True, seed=sd)
+        test_loader = DataLoader(test_ds, batch_size=batch_size)
+        train_conv, test_conv, best = [], [], 0.0
+        for _ in range(n_epochs):
+            losses = []
+            for graph in train_loader:
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, graph,
+                                               sub)
+                losses.append(float(loss))
+            train_conv.append(float(np.mean(losses)))
+            tp = fp = fn = 0
+            for graph in test_loader:
+                a, b, c = eval_batch(params, graph)
+                tp, fp, fn = tp + int(a), fp + int(b), fn + int(c)
+            f1 = 2 * tp / max(2 * tp + fp + fn, 1)       # micro-F1
+            test_conv.append(f1)
+            best = max(best, f1)
+            ckpt.save_best(rk, f1, params, opt_state, train_conv,
+                           test_conv, epoch=len(train_conv))
+        return TrainPartResult(params, opt_state, train_conv, test_conv,
+                               best)
+
+    results = []
+    for monte in range(monte_size):
+        widths = contraction_layer_coefficients(
+            train_ds[0].x.shape[1], num_layers, alpha, seed=seed + monte)
+        model = choose_model(model_name, widths, num_classes)
+        g0 = next(iter(DataLoader(train_ds, batch_size=batch_size)))
+        key = jax.random.PRNGKey(seed + monte)
+        params = model.init({"params": key, "dropout": key}, g0, g0.x)
+        run_key = (f"PPI-{model_name}{num_layers}-"
+                   f"{'_'.join(map(str, widths))}-{monte}")
+        phase1 = fit(model, params, epochs, seed + monte,
+                     run_key + "-p1")
+        new_widths = [max(int(w), 2) for w in
+                      retain_network_size(phase1.params, con_coeff)
+                      [:num_layers]] or widths
+        pruned = choose_model(model_name, new_widths, num_classes)
+        key2 = jax.random.PRNGKey(seed + monte + 1)
+        p2 = pruned.init({"params": key2, "dropout": key2}, g0, g0.x)
+        phase2 = fit(pruned, p2, fine_tune_epochs, seed + monte + 1,
+                     run_key + "-p2")
+        tag = f"param_{'_'.join(map(str, widths))}_{con_coeff}"
+        np.save(osp.join(out_dir, f"TrainConvergence-PPI-"
+                                  f"{model_name}{num_layers}-{tag}-"
+                                  f"monte_{monte}.npy"),
+                np.asarray(phase2.train_convergence))
+        np.save(osp.join(out_dir, f"TestConvergence-PPI-"
+                                  f"{model_name}{num_layers}-{tag}-"
+                                  f"monte_{monte}.npy"),
+                np.asarray(phase2.test_convergence))
+        results.append({"monte": monte, "widths": widths,
+                        "new_widths": new_widths,
+                        "pretrain_best": phase1.best_acc,
+                        "finetune_best": phase2.best_acc})
+    return results
+
+
 def training_net(dataset: str = "Cora", model_name: str = "GCN",
                  num_layers: int = 2, con_coeff: float = 0.6,
                  alpha: float = 0.5, epochs: int = 100,
@@ -379,10 +508,16 @@ def training_net(dataset: str = "Cora", model_name: str = "GCN",
                  link_prediction_method: str = "resource_allocation_index",
                  monte_size: int = 1, seed: int = 0,
                  results_dir: str = "Results", resume: bool = False,
-                 ckpt_dir: str = "checkpoint"):
+                 ckpt_dir: str = "checkpoint",
+                 fused_gat: Optional[bool] = None):
     """The full pipeline (reference TrainingNet :443-576 + Monte loop
     :452).  Saves Train/Test convergence .npy files keyed by
-    hyperparameters, like the reference's filename registry (:569-576)."""
+    hyperparameters, like the reference's filename registry (:569-576).
+
+    ``fused_gat``: route GAT layers through the fused Pallas attention
+    backend (ops/packed_gat.py).  Default (None) enables it on a real
+    TPU backend only — the interpret-mode fallback is correct but slow.
+    """
     ds, graph = load_citation_dataset(dataset)
     num_classes = ds.num_classes
     ckpt = CheckpointManager(ckpt_dir)
@@ -390,13 +525,30 @@ def training_net(dataset: str = "Cora", model_name: str = "GCN",
     os.makedirs(out_dir, exist_ok=True)
     results = []
 
+    apply_kwargs = {}
+    if model_name == "GAT":
+        if fused_gat is None:
+            fused_gat = jax.default_backend() == "tpu"
+        if fused_gat:
+            from pytorch_geometric_tpu.ops.packed_gat import (
+                PackedFlashGat)
+            emask = np.asarray(graph.real_edge_mask())
+            send = np.asarray(graph.senders)[emask]
+            recv = np.asarray(graph.receivers)[emask]
+            loops = np.arange(graph.num_nodes)
+            keep = send != recv     # PyG 1.4: remove then re-add loops
+            apply_kwargs["flash_op"] = PackedFlashGat(
+                senders=np.concatenate([send[keep], loops]),
+                receivers=np.concatenate([recv[keep], loops]),
+                num_nodes=graph.num_nodes, window=1024, tile=256)
+
     for monte in range(monte_size):
         widths = contraction_layer_coefficients(
             graph.num_node_features, num_layers, alpha, seed=seed + monte)
         model = choose_model(model_name, widths, num_classes)
         key = jax.random.PRNGKey(seed + monte)
         params = model.init({"params": key, "dropout": key}, graph,
-                            graph.x)
+                            graph.x, **apply_kwargs)
         run_key = (f"{dataset}-{model_name}{num_layers}-"
                    f"{'_'.join(map(str, widths))}-{con_coeff}-{monte}")
         if resume:
@@ -407,7 +559,8 @@ def training_net(dataset: str = "Cora", model_name: str = "GCN",
         # PHASE 1: pre-train
         phase1 = train_part(model, graph, params, epochs, lr=lr,
                             seed=seed, ckpt=ckpt,
-                            run_key=run_key + "-phase1", monte=monte)
+                            run_key=run_key + "-phase1", monte=monte,
+                            apply_kwargs=apply_kwargs)
 
         # SVD width pruning -> rebuild smaller net
         new_widths = retain_network_size(phase1.params, con_coeff)
@@ -416,7 +569,8 @@ def training_net(dataset: str = "Cora", model_name: str = "GCN",
         pruned_model = choose_model(model_name, new_widths, num_classes)
         key2 = jax.random.PRNGKey(seed + monte + 1)
         pruned_params = pruned_model.init(
-            {"params": key2, "dropout": key2}, graph, graph.x)
+            {"params": key2, "dropout": key2}, graph, graph.x,
+            **apply_kwargs)
 
         # PHASE 2: fine-tune with periodic spectral weight correction
         start = int(start_topo_coeff * fine_tune_epochs)
@@ -430,7 +584,8 @@ def training_net(dataset: str = "Cora", model_name: str = "GCN",
                 num_classes=num_classes,
                 method=link_prediction_method,
                 vector_pairs=vector_pairs,
-                correction_coeff=correction_coeff))
+                correction_coeff=correction_coeff),
+            apply_kwargs=apply_kwargs)
 
         params_tag = f"param_{'_'.join(map(str, widths))}_{con_coeff}"
         np.save(osp.join(
@@ -477,6 +632,16 @@ def main(argv=None):
     p.add_argument("--resume", "-r", action="store_true")
     p.add_argument("--savepath", default="Results")
     args = p.parse_args(argv)
+    if args.dataset.lower() == "ppi":
+        res = training_net_ppi(
+            model_name=args.modelName, num_layers=args.num_layers,
+            con_coeff=args.ConCoeff, alpha=args.alpha,
+            epochs=args.epochs, fine_tune_epochs=args.fine_tune_epochs,
+            batch_size=max(args.Batch_size, 1), monte_size=args.MonteSize,
+            seed=args.seed, results_dir=args.savepath)
+        for r in res:
+            print(r)
+        return
     if args.dataset.lower() in GRAPH_CLS_DATASETS:
         res = training_net_graphcls(
             dataset=args.dataset,
