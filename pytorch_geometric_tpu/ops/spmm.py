@@ -25,6 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pytorch_geometric_tpu.ops.kernel_util import edge_onehot, iota_rows
 from pytorch_geometric_tpu.ops.pack import pack_windows
 from pytorch_geometric_tpu.ops.segment import scatter
 
@@ -55,7 +56,7 @@ def spmm(senders, receivers, x, num_nodes, weights=None, reduce="sum",
 def _spmm_kernel(window, tile, compute_dtype,
                  src_w_ref, dst_w_ref, first_ref,   # scalar prefetch
                  x_ref, lsrc_ref, ldst_ref, w_ref,  # tensor inputs
-                 out_ref):
+                 cols_ref, out_ref):
     """One grid step: `tile` edges between one (src window, dst window).
 
     Gather and scatter are expressed as one-hot matmuls so both run on the
@@ -63,6 +64,12 @@ def _spmm_kernel(window, tile, compute_dtype,
     VMEM across consecutive tiles of the same destination window.
     ``compute_dtype=bfloat16`` runs the one-hot matmuls at full MXU rate
     (one-hot entries are exact in bf16; accumulation stays fp32).
+
+    The column iota arrives hoisted as a constant (8, window) block
+    (``cols_ref`` — round-2 lesson: the in-kernel 32-bit iota costs as
+    much as the compare), and the scatter is the destination one-hot
+    contracted on its TILE axis (dot_general), so no (window, tile)
+    transposed one-hot is ever built.
     """
     del src_w_ref, dst_w_ref
     t = pl.program_id(1)
@@ -72,17 +79,16 @@ def _spmm_kernel(window, tile, compute_dtype,
     lsrc = lsrc_ref[row, :]                    # (tile,)
     ldst = ldst_ref[row, :]
     w = w_ref[row, :]
-    # gather one-hot: G[e, c] = (lsrc[e] == c)            -> (tile, window)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-    gat = (lsrc[:, None] == cols).astype(compute_dtype)
+    gat = edge_onehot(lsrc, cols_ref, tile, window, dtype=compute_dtype)
+    scat = edge_onehot(ldst, cols_ref, tile, window, dtype=compute_dtype)
     gathered = jax.lax.dot(gat, x_ref[:].astype(compute_dtype),
                            preferred_element_type=jnp.float32)
     gathered = (gathered * w[:, None]).astype(compute_dtype)
-    # scatter one-hot: S[r, e] = (ldst[e] == r)           -> (window, tile)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
-    scat = (rows == ldst[None, :]).astype(compute_dtype)
-    contrib = jax.lax.dot(scat, gathered,
-                          preferred_element_type=jnp.float32)
+    # scatter by receiver: contract the (tile, window) dst one-hot on its
+    # tile axis -> (window, f_tile)
+    contrib = jax.lax.dot_general(
+        scat, gathered, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -110,6 +116,7 @@ def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
+            pl.BlockSpec((8, window), lambda j, t, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (window, f_tile),
@@ -130,7 +137,7 @@ def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
         # Tests run on a virtual CPU mesh; Mosaic only targets TPU.
         interpret=jax.default_backend() != "tpu",
     )(tile_src_win, tile_dst_win, tile_first,
-      x_pad, local_src, local_dst, w_packed)
+      x_pad, local_src, local_dst, w_packed, iota_rows(window))
 
 
 class SpmmOperator:
@@ -147,7 +154,12 @@ class SpmmOperator:
     """
 
     def __init__(self, senders, receivers, num_nodes, *, window=256,
-                 tile=256, compute_dtype=jnp.float32):
+                 tile=256, compute_dtype=jnp.float32, light=False):
+        """``light=True`` skips uploading the edge id permutation and
+        edge endpoint lists to the device — only the static-weight
+        entry points (:meth:`bind`, :meth:`bind_external` with host
+        weight packing) work then, but a 100M-edge operator saves
+        ~1.5 GB of device tables and their transfer time."""
         self.compute_dtype = compute_dtype
         if tile % 128:
             raise ValueError(f"tile must be a multiple of 128, got {tile}")
@@ -157,12 +169,14 @@ class SpmmOperator:
         receivers = np.asarray(receivers)
         self.window, self.tile = window, tile
         self.num_nodes = int(num_nodes)
+        self.light = bool(light)
         self.fwd = pack_windows(senders, receivers, num_nodes,
                                 window=window, tile=tile)
         self.bwd = pack_windows(receivers, senders, num_nodes,
                                 window=window, tile=tile)
-        self.senders = jnp.asarray(senders, dtype=jnp.int32)
-        self.receivers = jnp.asarray(receivers, dtype=jnp.int32)
+        if not light:
+            self.senders = jnp.asarray(senders, dtype=jnp.int32)
+            self.receivers = jnp.asarray(receivers, dtype=jnp.int32)
         self._dev = {}
         for name, pk in (("fwd", self.fwd), ("bwd", self.bwd)):
             T8 = _round_up(pk.num_tiles, 8)
@@ -174,13 +188,14 @@ class SpmmOperator:
                 return np.concatenate([a, pad])
 
             self._dev[name] = dict(
-                perm=jnp.asarray(pk.perm),
                 local_src=jnp.asarray(pad_rows(pk.local_src)),
                 local_dst=jnp.asarray(pad_rows(pk.local_dst)),
                 tile_src_win=jnp.asarray(pk.tile_src_win),
                 tile_dst_win=jnp.asarray(pk.tile_dst_win),
                 tile_first=jnp.asarray(pk.tile_first),
             )
+            if not light:
+                self._dev[name]["perm"] = jnp.asarray(pk.perm)
 
     # --- internals --------------------------------------------------------
 
@@ -225,6 +240,46 @@ class SpmmOperator:
     def _run(self, which, weights, x):
         return self.apply_packed(self.pack_weights(weights, which), x,
                                  which)
+
+    def pack_weights_host(self, weights, which: str = "fwd"):
+        """Host (numpy) variant of :meth:`pack_weights` — routes static
+        per-edge weights into the packed (T8, tile) layout without any
+        device round-trip (and without needing the perm table on
+        device, so it works on ``light`` operators)."""
+        pk = self.fwd if which == "fwd" else self.bwd
+        w_ext = np.concatenate([np.asarray(weights, np.float32),
+                                np.zeros(1, np.float32)])
+        T = pk.num_tiles
+        T8 = _round_up(T, 8)
+        wp = w_ext[pk.perm].reshape(T, pk.tile)
+        if T8 != T:
+            wp = np.concatenate([wp, np.zeros((T8 - T, pk.tile),
+                                              np.float32)])
+        return wp
+
+    def bind_external(self, weights):
+        """Static-weight SpMM with tables as EXPLICIT arguments.
+
+        Returns ``(fn, consts)``: ``fn(consts, x)`` is differentiable in
+        ``x``; pass ``consts`` through your ``jit`` boundary as an
+        argument so the multi-hundred-MB tables are device references,
+        never constants serialized into the compiled program."""
+        consts = {}
+        for which in ("fwd", "bwd"):
+            d = self._dev[which]
+            consts[which] = {
+                "local_src": d["local_src"], "local_dst": d["local_dst"],
+                "tile_src_win": d["tile_src_win"],
+                "tile_dst_win": d["tile_dst_win"],
+                "tile_first": d["tile_first"],
+                "w": jnp.asarray(self.pack_weights_host(weights, which)),
+            }
+        geom = SpmmGeom.make(
+            self.window, self.tile, self.num_nodes,
+            self.fwd.num_src_windows, self.fwd.num_dst_windows,
+            self.bwd.num_src_windows, self.bwd.num_dst_windows,
+            "bf16" if self.compute_dtype == jnp.bfloat16 else "f32")
+        return functools.partial(spmm_static, geom), consts
 
     def bind(self, weights):
         """Differentiable closure with *static* weights pre-packed for
@@ -272,3 +327,76 @@ def _spmm_apply_bwd(op, res, g):
 
 
 _spmm_apply.defvjp(_spmm_apply_fwd, _spmm_apply_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Explicit-argument static-weight SpMM (for 100M-edge-scale graphs)
+# ---------------------------------------------------------------------------
+#
+# ``SpmmOperator.bind`` closes over the packed tables, so tracing embeds
+# them as CONSTANTS in the compiled program — fine at citation scale,
+# but a Reddit-scale pack is ~GBs of tables and the remote compiler
+# rejects such program bodies (HTTP 413).  ``bind_external`` instead
+# returns the tables as a pytree the caller passes through ``jit`` as
+# ARGUMENTS (device references, never serialized into the program).
+
+class SpmmGeom(tuple):
+    """Hashable static geometry for :func:`spmm_static` (a plain tuple
+    subclass so it can ride ``jax.custom_vjp``'s nondiff_argnums)."""
+
+    __slots__ = ()
+
+    @staticmethod
+    def make(window, tile, num_nodes, nsw_f, ndw_f, nsw_b, ndw_b,
+             compute):
+        return SpmmGeom((window, tile, num_nodes, nsw_f, ndw_f, nsw_b,
+                         ndw_b, compute))
+
+    window = property(lambda s: s[0])
+    tile = property(lambda s: s[1])
+    num_nodes = property(lambda s: s[2])
+    nsw_f = property(lambda s: s[3])
+    ndw_f = property(lambda s: s[4])
+    nsw_b = property(lambda s: s[5])
+    ndw_b = property(lambda s: s[6])
+    compute = property(lambda s: s[7])
+
+
+def _apply_dir(geom: SpmmGeom, t: dict, x, *, fwd: bool):
+    n_src = geom.nsw_f if fwd else geom.nsw_b
+    n_dst = geom.ndw_f if fwd else geom.ndw_b
+    N, F = geom.num_nodes, x.shape[1]
+    f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
+    fp = _round_up(F, f_tile)
+    x_pad = jnp.zeros((n_src * geom.window, fp), jnp.float32)
+    x_pad = x_pad.at[:N, :F].set(x.astype(jnp.float32))
+    out = _spmm_pallas_raw(
+        x_pad, t["w"], t["local_src"], t["local_dst"],
+        t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
+        window=geom.window, tile=geom.tile, n_dst_windows=n_dst,
+        f_tile=f_tile,
+        compute_dtype=jnp.bfloat16 if geom.compute == "bf16"
+        else jnp.float32)
+    return out[:N, :F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm_static(geom: SpmmGeom, consts, x):
+    """out = A x with static weights; ``consts`` = packed tables pytree
+    from :meth:`SpmmOperator.bind_external` (pass through jit as args).
+    Differentiable in ``x`` (the bwd is the transposed packed SpMM);
+    table cotangents are zeros (DCE'd under jit)."""
+    return _apply_dir(geom, consts["fwd"], x, fwd=True)
+
+
+def _spmm_static_fwd(geom, consts, x):
+    return spmm_static(geom, consts, x), consts
+
+
+def _spmm_static_bwd(geom, consts, g):
+    dx = _apply_dir(geom, consts["bwd"], g.astype(jnp.float32),
+                    fwd=False)
+    return (jax.tree_util.tree_map(jnp.zeros_like, consts), dx)
+
+
+spmm_static.defvjp(_spmm_static_fwd, _spmm_static_bwd)

@@ -86,9 +86,9 @@ class GraphShards:
 
     def device_arrays(self):
         return {k: jnp.asarray(getattr(self, k)) for k in (
-            "loc_src_row", "loc_dst", "rem_owner", "rem_slot",
-            "rem_bslot", "rem_src_row", "rem_dst",
-            "halo_send_idx", "boundary_send_idx")}
+            "loc_src_row", "loc_dst", "loc_mask", "rem_owner",
+            "rem_slot", "rem_bslot", "rem_src_row", "rem_dst",
+            "rem_mask", "halo_send_idx", "boundary_send_idx")}
 
     def shard_nodes(self, x: np.ndarray) -> np.ndarray:
         """(N, ...) original order -> (P, S, ...) relabelled + padded."""
@@ -294,3 +294,114 @@ def allgather_spmm(x_local, weights, tables, axis: str):
     src = tables["rem_owner"] * S + tables["rem_src_row"]
     msgs = jnp.take(flat, src, axis=0) * w_remote[:, None]
     return out + segment_sum(msgs, tables["rem_dst"], S)
+
+
+def _halo_rows(x_local, tables, axis: str, halo_size: int,
+               num_peers: int):
+    """all_to_all the per-pair halo feature rows; returns the flat
+    (num_peers * halo_size, F) receive buffer plus a gather-index
+    builder for remote edges."""
+    F = x_local.shape[1]
+    send_buf = jnp.take(x_local, tables["halo_send_idx"].reshape(-1),
+                        axis=0).reshape(num_peers, halo_size, F)
+    recv = jax.lax.all_to_all(send_buf, axis, split_axis=0,
+                              concat_axis=0, tiled=False)
+    flat = recv.reshape(num_peers * halo_size, F)
+    src = tables["rem_owner"] * halo_size + tables["rem_slot"]
+    return flat, src
+
+
+def halo_spmm_max(x_local, tables, axis: str, halo_size: int,
+                  num_peers: int):
+    """out[r] = max_e x[src_e] across partition boundaries (the ``aggr
+    = 'max'`` choice of SAGE/PointConv/EdgeConv — reference
+    gmm_conv.py:55-58 aggr choices, examples/pointnet2.py).  Masked
+    (padding) edges contribute -inf; receivers with no edge anywhere
+    end at 0, matching the single-device segment-max semantics."""
+    S, F = x_local.shape
+    lmask = tables["loc_mask"][:, None]
+    msgs = jnp.where(lmask, jnp.take(x_local, tables["loc_src_row"],
+                                     axis=0), -jnp.inf)
+    out = jax.ops.segment_max(msgs, tables["loc_dst"], num_segments=S)
+    flat, src = _halo_rows(x_local, tables, axis, halo_size, num_peers)
+    rmask = tables["rem_mask"][:, None]
+    rmsgs = jnp.where(rmask, jnp.take(flat, src, axis=0), -jnp.inf)
+    out = jnp.maximum(out, jax.ops.segment_max(
+        rmsgs, tables["rem_dst"], num_segments=S))
+    return jnp.where(jnp.isneginf(out), 0.0, out)
+
+
+def halo_spmm_mean(x_local, weights, tables, axis: str, halo_size: int,
+                   num_peers: int):
+    """Mean aggregation across partition boundaries: the halo-sum
+    divided by the per-receiver edge count (padding edges carry weight
+    0 in ``weights``, so counts come from the same weight rows)."""
+    w_local, w_remote = weights
+    num = halo_spmm(x_local, weights, tables, axis, halo_size,
+                    num_peers)
+    ones = jnp.ones((x_local.shape[0], 1), x_local.dtype)
+    den = halo_spmm(ones, weights, tables, axis, halo_size, num_peers)
+    return num / jnp.maximum(den, 1e-12)
+
+
+def halo_gat(h_local, a_src_local, a_dst_local, tables, axis: str,
+             halo_size: int, num_peers: int, heads: int,
+             negative_slope: float = 0.2):
+    """Distributed GAT attention layer over the edge partition.
+
+    Segment-softmax across partition boundaries WITHOUT a distributed
+    max pass: the per-head global shift M_h = max_i a_src[i] +
+    max_j a_dst[j] (leaky_relu is monotone, so leaky(M) bounds every
+    logit — the packed_gat trick, ops/packed_gat.py) needs only one
+    scalar pmax per head.  Numerator and denominator are then plain
+    weighted halo sums with locally computed weights
+    w_e = exp(leaky(a_src[s] + a_dst[r]) - M), so the ONLY collective
+    beyond the shift is the same single halo feature exchange the
+    weighted-sum path uses (a_src rides along with h).
+
+    Args: ``h_local`` (S, H*C) per-head features, ``a_src/dst_local``
+    (S, H) attention half-logits.  Returns (S, H*C) aggregated,
+    un-normalised heads concatenated (softmax denominator applied).
+    Differentiable end-to-end (XLA derives the collective transposes).
+    """
+    S = h_local.shape[0]
+    H = heads
+    C = h_local.shape[1] // H
+    # global per-head shift (stop-grad BEFORE the collective —
+    # pmax has no differentiation rule, and a softmax shift carries no
+    # gradient anyway)
+    m = (jax.lax.pmax(jax.lax.stop_gradient(
+            jnp.max(a_src_local, axis=0)), axis)
+         + jax.lax.pmax(jax.lax.stop_gradient(
+            jnp.max(a_dst_local, axis=0)), axis))
+    m = jax.nn.leaky_relu(m, negative_slope)           # (H,)
+
+    def edge_weights(a_s_rows, dst_idx, mask):
+        z = a_s_rows + jnp.take(a_dst_local, dst_idx, axis=0)   # (E, H)
+        z = jax.nn.leaky_relu(z, negative_slope) - m[None, :]
+        return jnp.exp(z) * mask[:, None]
+
+    def accumulate(h_rows, a_s_rows, dst_idx, mask):
+        w = edge_weights(a_s_rows, dst_idx, mask)       # (E, H)
+        hh = h_rows.reshape(-1, H, C)
+        num = segment_sum((hh * w[:, :, None]).reshape(-1, H * C),
+                          dst_idx, S)
+        den = segment_sum(w, dst_idx, S)                # (S, H)
+        return num, den
+
+    # local edges first (overlaps the all_to_all below)
+    h_loc = jnp.take(h_local, tables["loc_src_row"], axis=0)
+    a_loc = jnp.take(a_src_local, tables["loc_src_row"], axis=0)
+    num, den = accumulate(h_loc, a_loc, tables["loc_dst"],
+                          tables["loc_mask"].astype(h_local.dtype))
+
+    # remote edges: a_src rides along with h in ONE exchange
+    payload = jnp.concatenate([a_src_local, h_local], axis=1)
+    flat, src = _halo_rows(payload, tables, axis, halo_size, num_peers)
+    rows = jnp.take(flat, src, axis=0)
+    num_r, den_r = accumulate(rows[:, H:], rows[:, :H],
+                              tables["rem_dst"],
+                              tables["rem_mask"].astype(h_local.dtype))
+    num = num + num_r
+    den = jnp.maximum(den + den_r, 1e-20)               # (S, H)
+    return (num.reshape(S, H, C) / den[:, :, None]).reshape(S, H * C)
