@@ -20,21 +20,54 @@ import math
 import bench_common as bc
 
 
+def _geomean(vals):
+    vals = [v for v in vals if v]
+    return (math.exp(sum(math.log(v) for v in vals) / len(vals))
+            if vals else 0.0)
+
+
 def main():
     records = bc.run_headline_suite(epochs=200)
-    speedups = [r["vs_baseline"] for r in records
-                if r["vs_baseline"] and "fullgraph" not in r["metric"]]
-    geo = (math.exp(sum(math.log(s) for s in speedups) / len(speedups))
-           if speedups else 0.0)
+    try:
+        records += bc.run_scale_suite()
+    except Exception as exc:  # noqa: BLE001 — scale rows are additive
+        print(json.dumps({"metric": "scale_suite ERROR",
+                          "error": f"{type(exc).__name__}: {exc}"}),
+              flush=True)
+    closure = [r["vs_baseline"] for r in records
+               if r["vs_baseline"] and "fullgraph" not in r["metric"]
+               and r["unit"] == "s" and "epoch_wallclock" in r["metric"]]
+    fullgraph = [r["vs_baseline"] for r in records
+                 if r["vs_baseline"] and "fullgraph" in r["metric"]]
+    # The kernel-capability summary: full-graph rows only (no training
+    # closure — every epoch touches every edge, like the reference).
+    print(json.dumps({
+        "metric": "fullgraph_geomean_speedup",
+        "value": round(_geomean(fullgraph), 3),
+        "unit": "x",
+        "vs_baseline": round(_geomean(fullgraph), 3),
+        "detail": {"note": "geomean over full-graph (non-closure) rows; "
+                   "the honest kernel-capability signal"},
+    }), flush=True)
+    geo = _geomean(closure)
     print(json.dumps({
         "metric": "headline_geomean_speedup",
         "value": round(geo, 3),
         "unit": "x",
         "vs_baseline": round(geo, 3),
-        "detail": {r["metric"]: {"s": r["value"],
-                                 "vs_baseline": r["vs_baseline"],
-                                 **r.get("detail", {})}
-                   for r in records},
+        "detail": {
+            "note": "closure rows are algorithmic wins (gradient-"
+            "identical training closure); fullgraph rows are "
+            "kernel-capability wins",
+            **{r["metric"]: {"s": r["value"],
+                             "vs_baseline": r["vs_baseline"],
+                             **r.get("detail", {})}
+               for r in records if r["unit"] == "s"
+               and "epoch_wallclock" in r["metric"]},
+            **{r["metric"]: {"value": r["value"], "unit": r["unit"],
+                             **r.get("detail", {})}
+               for r in records if "epoch_wallclock" not in r["metric"]},
+        },
     }), flush=True)
 
 

@@ -492,6 +492,12 @@ def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
                  "kernel": "packed_rgcn"})
 
 
+def run_scale_suite():
+    """Reddit-scale rows (bench_scale.py) — the bandwidth-bound regime."""
+    from bench_scale import run_scale_suite as _run
+    return _run()
+
+
 def run_headline_suite(epochs: int = 200, fullgraph: bool = True):
     """All 7 headline metrics (+ the full-graph kernel rows); returns
     the list of emitted records.  A failing row (gate assertion,
