@@ -32,6 +32,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def tune_host_malloc():
+    """Keep freed glibc arenas mapped (mallopt) — on this class of
+    small overcommitted VM a fresh page fault costs ~50 us, so every
+    multi-GB numpy temporary that munmaps on free and re-faults on the
+    next alloc runs ~20x slower than arena reuse (measured: 500 MB
+    copy 4.6 s cold vs 0.24 s on a kept arena)."""
+    import ctypes
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        gib = 1 << 30
+        libc.mallopt(-3, gib)        # M_MMAP_THRESHOLD
+        libc.mallopt(-1, gib)        # M_TRIM_THRESHOLD
+        libc.mallopt(-2, 256 << 20)  # M_TOP_PAD
+    except Exception:
+        pass
+
+
+tune_host_malloc()
+
 BASELINES = {  # reference wall-clock seconds on GTX 1080Ti (README.md)
     ("cora", "gcn"): 0.25, ("cora", "gat"): 0.80,
     ("citeseer", "gcn"): 0.30, ("citeseer", "gat"): 0.88,
@@ -521,3 +541,11 @@ def run_headline_suite(epochs: int = 200, fullgraph: bool = True):
                 "metric": f"{fn.__name__}{args} ERROR",
                 "error": f"{type(exc).__name__}: {exc}"}), flush=True)
     return records
+
+
+if __name__ == "__main__":
+    import argparse
+    _p = argparse.ArgumentParser()
+    _p.add_argument("--epochs", type=int, default=200)
+    _a = _p.parse_args()
+    run_headline_suite(epochs=_a.epochs)

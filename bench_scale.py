@@ -66,7 +66,8 @@ class RedditBench:
     def __init__(self, n=REDDIT_N, e=REDDIT_E, f=REDDIT_F, c=REDDIT_C,
                  communities=200, window=1024, dense_threshold=1024,
                  sparse_tile=256, seed=0):
-        from pytorch_geometric_tpu.ops.block_spmm import BlockSpmm
+        from pytorch_geometric_tpu.ops.block_spmm import (
+            BlockSpmm, BlockStructure)
 
         self.n, self.e, self.f, self.c = n, e, f, c
         t0 = time.perf_counter()
@@ -80,21 +81,49 @@ class RedditBench:
         w_mean = (1.0 / deg[receivers]).astype(np.float32)
 
         t0 = time.perf_counter()
+        # one graph pass shared by both weightings (BlockStructure)
+        structure = BlockStructure(senders, receivers, n,
+                                   window=window,
+                                   dense_threshold=dense_threshold,
+                                   sparse_tile=sparse_tile)
         self.op_gcn = BlockSpmm(senders, receivers, n, w_gcn,
-                                window=window,
-                                dense_threshold=dense_threshold,
-                                sparse_tile=sparse_tile)
+                                structure=structure)
         self.fn_gcn, self.consts_gcn = self.op_gcn.bind()
-        self.op_mean = BlockSpmm(senders, receivers, n, w_mean,
-                                 window=window,
-                                 dense_threshold=dense_threshold,
-                                 sparse_tile=sparse_tile)
-        self.fn_mean, self.consts_mean = self.op_mean.bind()
         self.consts_gcn = jax.tree_util.tree_map(
             jax.device_put, self.consts_gcn)
-        self.consts_mean = jax.tree_util.tree_map(
-            jax.device_put, self.consts_mean)
-        jax.block_until_ready((self.consts_gcn, self.consts_mean))
+        jax.block_until_ready(self.consts_gcn)
+
+        # the mean-aggregation blocks differ from the GCN blocks by a
+        # separable per-endpoint factor (w_mean/w_gcn = deg_s^.5 *
+        # deg_r^-.5, which commutes with duplicate-edge summing), so
+        # they are derived ON DEVICE from the GCN blocks — no second
+        # multi-GB host build or transfer
+        self.fn_mean = self.fn_gcn
+        consts_mean = dict(self.consts_gcn)
+        if structure.num_dense_blocks:
+            nw, W = structure.num_windows, structure.window
+            deg_pad = np.ones(nw * W, np.float32)
+            deg_pad[:n] = deg.astype(np.float32)
+            degw = jnp.asarray(deg_pad.reshape(nw, W))
+
+            @jax.jit
+            def derive(blocks, degw, bsw, bdw):
+                col = jnp.sqrt(degw)[bsw][:, None, :]
+                row = jax.lax.rsqrt(degw)[bdw][:, :, None]
+                return (blocks.astype(jnp.float32) * col
+                        * row).astype(blocks.dtype)
+
+            consts_mean["blocks"] = derive(
+                self.consts_gcn["blocks"], degw,
+                self.consts_gcn["bsw"], self.consts_gcn["bdw"])
+        if structure.sparse is not None:
+            _, sp_consts = structure.sparse.bind_external(
+                w_mean[structure._sparse_edge_ids])
+            consts_mean["sparse"] = jax.tree_util.tree_map(
+                jax.device_put, sp_consts)
+        self.consts_mean = consts_mean
+        jax.block_until_ready(self.consts_mean)
+        self.op_mean = self.op_gcn
         self.pack_s = time.perf_counter() - t0
 
         # learnable synthetic task: labels follow the community (41

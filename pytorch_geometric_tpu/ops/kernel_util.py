@@ -35,3 +35,30 @@ def edge_onehot(locals_i32, cols_ref, tile: int, window: int,
     contribution via edge weights / masks, not via the one-hot.
     """
     return (locals_i32[:, None] == cols_ref[0:1, :]).astype(dtype)
+
+
+def onehot_blocks(locals_2d, tile: int, window: int,
+                  dtype=jnp.bfloat16):
+    """Precompute every tile's (tile, window) one-hot as ONE device
+    array of shape (T8*tile, window), built on device in a single
+    vectorised pass.
+
+    Streaming these blocks into the kernel (BlockSpec indexed by the
+    grid step) replaces the in-kernel iota-compare build — ~2 VPU ops
+    per (edge, window-slot) — with an HBM read the DMA engines overlap
+    under the MXU work.  Worth it when the kernel is VPU-bound (thin
+    feature columns) and the total block bytes fit HBM:
+    T*tile*window bytes at int8 (~140 MB per pack side at MUTAG/PubMed
+    scale).  Semantics identical to :func:`edge_onehot`: padding slots
+    one-hot their (harmless) local value; callers mask via weights.
+    """
+    locals_2d = jnp.asarray(locals_2d)
+    T8 = locals_2d.shape[0]
+
+    @jax.jit
+    def build(l2d):
+        flat = l2d.reshape(T8 * tile, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+        return (flat == cols).astype(dtype)
+
+    return build(locals_2d)

@@ -78,7 +78,12 @@ def _head_expand(H, C):
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, lsrc_ref, ldst_ref, eid_ref,
-                cols_ref, out_ref, *, H, C, rate, slope, tile, window):
+                cols_ref, *rest, H, C, rate, slope, tile, window,
+                stream=False):
+    if stream:
+        g1s_ref, gds_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     t = pl.program_id(0)
     scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     thresh = min(int(rate * 2 ** 32), 2 ** 32 - 1)
@@ -86,8 +91,12 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     lsrc = lsrc_ref[row, :]
     ldst = ldst_ref[row, :]
     eid2d = eid_ref[row, :][:, None]                       # (tile, 1)
-    g1 = edge_onehot(lsrc, cols_ref, tile, window)
-    gd = edge_onehot(ldst, cols_ref, tile, window)
+    if stream:
+        g1 = g1s_ref[:].astype(jnp.bfloat16)
+        gd = gds_ref[:].astype(jnp.bfloat16)
+    else:
+        g1 = edge_onehot(lsrc, cols_ref, tile, window)
+        gd = edge_onehot(ldst, cols_ref, tile, window)
     em = (eid2d >= 0).astype(jnp.float32)                  # (tile, 1)
 
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
@@ -122,8 +131,8 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
 def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
-                cols_ref, out_ref, *maybe_dd, H, C, rate, slope, tile,
-                window, side, merge_dd=False):
+                cols_ref, *rest, H, C, rate, slope, tile,
+                window, side, merge_dd=False, stream=False):
     """Shared backward body over a pack.
 
     side='dst' (dst-major pack): scatter by ldst -> dd (window, H).
@@ -135,6 +144,11 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     The caller wires the window index maps so sh is always gathered at
     sender windows and d/g at receiver windows.
     """
+    if stream:
+        g1s_ref, gds_ref = rest[0], rest[1]
+        out_ref, maybe_dd = rest[2], rest[3:]
+    else:
+        out_ref, maybe_dd = rest[0], rest[1:]
     t = pl.program_id(0)
     scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     thresh = min(int(rate * 2 ** 32), 2 ** 32 - 1)
@@ -142,8 +156,12 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     lsrc = lsrc_ref[row, :]          # sender locals (gather s|h)
     ldst = ldst_ref[row, :]          # receiver locals (gather d|g)
     eid2d = eid_ref[row, :][:, None]
-    g1 = edge_onehot(lsrc, cols_ref, tile, window)
-    gd = edge_onehot(ldst, cols_ref, tile, window)
+    if stream:
+        g1 = g1s_ref[:].astype(jnp.bfloat16)
+        gd = gds_ref[:].astype(jnp.bfloat16)
+    else:
+        g1 = edge_onehot(lsrc, cols_ref, tile, window)
+        gd = edge_onehot(ldst, cols_ref, tile, window)
     em = (eid2d >= 0).astype(jnp.float32)
 
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
@@ -227,7 +245,12 @@ class PackedFlashGat:
     def __init__(self, adj_bool=None, senders=None, receivers=None,
                  num_nodes=None, negative_slope: float = 0.2,
                  window: int = 1024, tile: int = 512,
-                 interpret: bool = None):
+                 interpret: bool = None, onehot: str = "build"):
+        """``onehot``: 'build' regenerates the (tile, window) one-hots
+        in-kernel (no HBM cost); 'stream_int8' / 'stream_bf16'
+        precompute them once on device and DMA them per tile — the
+        VPU-bound win for thin-column attention kernels (the one-hot
+        build is ~half the per-tile time at H*C <= 72)."""
         if adj_bool is not None:
             adj = np.asarray(adj_bool)
             receivers, senders = np.nonzero(adj)   # adj[i, j]: edge j->i
@@ -238,6 +261,8 @@ class PackedFlashGat:
         self.E = senders.shape[0]
         self.slope = float(negative_slope)
         self.window, self.tile = window, tile
+        assert onehot in ("build", "stream_int8", "stream_bf16")
+        self.onehot = onehot
         # dst-major pack (fwd + dd backward): scatter side = receivers
         self.fwd_pack = pack_windows(senders, receivers, self.n,
                                      window=window, tile=tile)
@@ -273,6 +298,15 @@ class PackedFlashGat:
                                      else pk.tile_dst_win),
                 first=jnp.asarray(pk.tile_first),
             )
+            if onehot != "build":
+                from pytorch_geometric_tpu.ops.kernel_util import (
+                    onehot_blocks)
+                bdt = (jnp.int8 if onehot == "stream_int8"
+                       else jnp.bfloat16)
+                self._dev[name]["g1b"] = onehot_blocks(
+                    self._dev[name]["lsend"], tile, window, bdt)
+                self._dev[name]["gdb"] = onehot_blocks(
+                    self._dev[name]["lrecv"], tile, window, bdt)
         self._interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
         self._cache = {}
@@ -305,6 +339,9 @@ class PackedFlashGat:
             pl.BlockSpec((8, tile), lambda t, *_: (t // 8, 0)),
             pl.BlockSpec((8, W), lambda t, *_: (0, 0)),
         ]
+        if self.onehot != "build":
+            in_specs += [pl.BlockSpec((tile, W),
+                                      lambda t, *_: (t, 0))] * 2
         out_specs = pl.BlockSpec((W, n_out_cols), out_idx)
         out_shape = jax.ShapeDtypeStruct((ndw * W, n_out_cols),
                                          jnp.float32)
@@ -332,8 +369,9 @@ class PackedFlashGat:
         n = self.n
         nw = self.fwd_pack.num_src_windows
         npad = nw * W
+        stream = self.onehot != "build"
         kw = dict(H=H, C=C, rate=rate, slope=self.slope, tile=self.tile,
-                  window=W)
+                  window=W, stream=stream)
         fwd_call = self._pallas(
             self.fwd_pack, functools.partial(_fwd_kernel, **kw),
             HC + H, H, HC, with_g=False, out_on="dw")
@@ -368,6 +406,9 @@ class PackedFlashGat:
             num_den, _ = _raw_fwd(d, s, h2d, seed)
             return num_den
 
+        blk_f = ((dv_f["g1b"], dv_f["gdb"]) if stream else ())
+        blk_b = ((dv_b["g1b"], dv_b["gdb"]) if stream else ())
+
         def _raw_fwd(d, s, h2d, seed):
             seed_i = jnp.reshape(seed.astype(jnp.int32), (1,))
             m = jax.lax.stop_gradient(
@@ -378,7 +419,7 @@ class PackedFlashGat:
             acc = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], seed_i,
                            sh, dp, m, dv_f["lsend"], dv_f["lrecv"],
-                           dv_f["eid"], cols)
+                           dv_f["eid"], cols, *blk_f)
             return acc[:n], (sh, dp, m, seed_i)
 
         def _raw_bwd(res, g_acc):
@@ -388,16 +429,18 @@ class PackedFlashGat:
                 dsdh, dd = bwd_src_call(
                     dv_b["send_win"], dv_b["recv_win"], dv_b["first"],
                     seed_i, sh, dp, m, gp, dv_b["lsend"],
-                    dv_b["lrecv"], dv_b["eid"], cols)
+                    dv_b["lrecv"], dv_b["eid"], cols, *blk_b)
             else:
                 dd = bwd_dst_call(dv_f["send_win"], dv_f["recv_win"],
                                   dv_f["first"], seed_i,
                                   sh, dp, m, gp, dv_f["lsend"],
-                                  dv_f["lrecv"], dv_f["eid"], cols)
+                                  dv_f["lrecv"], dv_f["eid"], cols,
+                                  *blk_f)
                 dsdh = bwd_src_call(dv_b["send_win"], dv_b["recv_win"],
                                     dv_b["first"], seed_i,
                                     sh, dp, m, gp, dv_b["lsend"],
-                                    dv_b["lrecv"], dv_b["eid"], cols)
+                                    dv_b["lrecv"], dv_b["eid"], cols,
+                                    *blk_b)
             return (dd[:n], dsdh[:n, :H], dsdh[:n, H:],
                     jnp.zeros((), jnp.float32))
 

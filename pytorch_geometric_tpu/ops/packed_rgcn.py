@@ -62,15 +62,23 @@ def _expand_mats(B, C):
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref,
                 xb_ref, att_ref, lsrc_ref, ldst_ref, rel_ref, w_ref,
-                cols_ref, out_ref, *, B, C, Rp, tile, window):
+                cols_ref, *rest, B, C, Rp, tile, window, stream=False):
+    if stream:
+        g1s_ref, gds_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     t = pl.program_id(0)
     row = t % 8
     lsrc = lsrc_ref[row, :]
     ldst = ldst_ref[row, :]
     rel = rel_ref[row, :]
     w = w_ref[row, :]
-    g1 = edge_onehot(lsrc, cols_ref, tile, window)
-    gd = edge_onehot(ldst, cols_ref, tile, window)
+    if stream:
+        g1 = g1s_ref[:].astype(jnp.bfloat16)
+        gd = gds_ref[:].astype(jnp.bfloat16)
+    else:
+        g1 = edge_onehot(lsrc, cols_ref, tile, window)
+        gd = edge_onehot(ldst, cols_ref, tile, window)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
     grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
     rep, tilec = _expand_mats(B, C)
@@ -101,18 +109,26 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
 
 def _bwd_kernel(gw_ref, dw_ref, first_ref,
                 xb_ref, att_ref, g_ref, lsend_ref, lrecv_ref, rel_ref,
-                w_ref, cols_ref, dxb_ref, datt_ref,
-                *, B, C, Rp, tile, window):
+                w_ref, cols_ref, *rest, B, C, Rp, tile, window,
+                stream=False):
     """Runs over the SRC-major pack: gw = sender windows (gather xB,
     scatter dxB), dw = receiver windows (gather g)."""
+    if stream:
+        gss_ref, grs_ref, dxb_ref, datt_ref = rest
+    else:
+        dxb_ref, datt_ref = rest
     t = pl.program_id(0)
     row = t % 8
     lsend = lsend_ref[row, :]
     lrecv = lrecv_ref[row, :]
     rel = rel_ref[row, :]
     w = w_ref[row, :]
-    gs = edge_onehot(lsend, cols_ref, tile, window)
-    gr = edge_onehot(lrecv, cols_ref, tile, window)
+    if stream:
+        gs = gss_ref[:].astype(jnp.bfloat16)
+        gr = grs_ref[:].astype(jnp.bfloat16)
+    else:
+        gs = edge_onehot(lsend, cols_ref, tile, window)
+        gr = edge_onehot(lrecv, cols_ref, tile, window)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
     grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
 
@@ -170,7 +186,8 @@ class PackedRgcnSpmm:
     def __init__(self, senders, receivers, edge_type,
                  num_relations: int, num_nodes: int, weights,
                  num_src_rows: int = None, window: int = 1024,
-                 tile: int = 256, interpret: bool = None):
+                 tile: int = 256, interpret: bool = None,
+                 onehot: str = "build"):
         s = np.asarray(senders, dtype=np.int64)
         r = np.asarray(receivers, dtype=np.int64)
         et = np.asarray(edge_type, dtype=np.int64)
@@ -220,6 +237,17 @@ class PackedRgcnSpmm:
 
         self._dev = {"fwd": slot_arrays(self.fwd_pack, False),
                      "bwd": slot_arrays(self.bwd_pack, True)}
+        assert onehot in ("build", "stream_int8", "stream_bf16")
+        self.onehot = onehot
+        if onehot != "build":
+            from pytorch_geometric_tpu.ops.kernel_util import (
+                onehot_blocks)
+            bdt = jnp.int8 if onehot == "stream_int8" else jnp.bfloat16
+            for dv in self._dev.values():
+                dv["g1b"] = onehot_blocks(dv["lsend"], tile, window,
+                                          bdt)
+                dv["gdb"] = onehot_blocks(dv["lrecv"], tile, window,
+                                          bdt)
         self._interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
         self._cache = {}
@@ -230,7 +258,8 @@ class PackedRgcnSpmm:
         nw = self.fwd_pack.num_src_windows
         npad = nw * W
         n, ns = self.num_nodes, self.num_src_rows
-        kw = dict(B=B, C=C, Rp=Rp, tile=tile, window=W)
+        stream = self.onehot != "build"
+        kw = dict(B=B, C=C, Rp=Rp, tile=tile, window=W, stream=stream)
         cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
         BC = B * C
         cols = iota_rows(W)
@@ -249,6 +278,9 @@ class PackedRgcnSpmm:
                                       (t // 8, 0))] * 4
             in_specs.append(pl.BlockSpec((8, W),
                                          lambda t, *_: (0, 0)))
+            if stream:
+                in_specs += [pl.BlockSpec((tile, W),
+                                          lambda t, *_: (t, 0))] * 2
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3, grid=(T,), in_specs=in_specs,
                 out_specs=out_specs)
@@ -269,6 +301,8 @@ class PackedRgcnSpmm:
             [jax.ShapeDtypeStruct((npad, BC), jnp.float32),
              jax.ShapeDtypeStruct((Rp, B), jnp.float32)])
         dv_f, dv_b = self._dev["fwd"], self._dev["bwd"]
+        blk_f = ((dv_f["g1b"], dv_f["gdb"]) if stream else ())
+        blk_b = ((dv_b["g1b"], dv_b["gdb"]) if stream else ())
 
         def pad_rows(x, rows):
             return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
@@ -286,7 +320,7 @@ class PackedRgcnSpmm:
             out = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], xp, ap, dv_f["lsend"],
                            dv_f["lrecv"], dv_f["rel"], dv_f["w"],
-                           cols)
+                           cols, *blk_f)
             return out[:n], (xp, ap)
 
         R = self.R
@@ -297,7 +331,7 @@ class PackedRgcnSpmm:
             dxb, datt = bwd_call(dv_b["send_win"], dv_b["recv_win"],
                                  dv_b["first"], xp, ap, gp,
                                  dv_b["lsend"], dv_b["lrecv"],
-                                 dv_b["rel"], dv_b["w"], cols)
+                                 dv_b["rel"], dv_b["w"], cols, *blk_b)
             return dxb[:ns], datt[:R]
 
         f.defvjp(_fwd, _bwd)

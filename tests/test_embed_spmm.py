@@ -137,3 +137,31 @@ def test_packed_rgcn_embed_mode(rng):
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-2, atol=3e-2)
+
+
+def test_packed_rgcn_streamed_onehot_matches_build(rng):
+    """onehot='stream_int8'/'stream_bf16' (precomputed DMA'd one-hot
+    blocks) is numerically IDENTICAL to the in-kernel build."""
+    import pytest
+    g, et = _graph(rng, n=90, e=400, R=5)
+    R = 5
+    norm = rgcn_norm(g, et, R)
+    base = rgcn_fused_op(g, et, R, "transform", norm=np.asarray(norm),
+                         backend="packed", window=64, tile=128)
+    xB = jnp.asarray(rng.normal(size=(g.num_nodes, 3 * 4)).astype(
+        np.float32))
+    att = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    ref = np.asarray(base(xB, att))
+    gref = jax.grad(lambda x, a: jnp.sum(base(x, a) ** 2),
+                    argnums=(0, 1))(xB, att)
+    for mode in ("stream_int8", "stream_bf16"):
+        op = rgcn_fused_op(g, et, R, "transform", norm=np.asarray(norm),
+                           backend="packed", window=64, tile=128,
+                           onehot=mode)
+        np.testing.assert_allclose(np.asarray(op(xB, att)), ref,
+                                   rtol=1e-6, atol=1e-6)
+        gs = jax.grad(lambda x, a: jnp.sum(op(x, a) ** 2),
+                      argnums=(0, 1))(xB, att)
+        for a, b in zip(gs, gref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)

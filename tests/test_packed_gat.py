@@ -127,3 +127,31 @@ def test_packed_nondivisible_and_isolated(rng):
     hv = np.asarray(h).reshape(n, H, C)
     np.testing.assert_allclose(out[120].reshape(H, C), hv[120],
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["stream_int8", "stream_bf16"])
+def test_packed_streamed_onehot_matches_build(rng, mode):
+    """The streamed precomputed one-hot blocks are numerically
+    IDENTICAL to the in-kernel iota-compare build (same bf16 one-hot
+    feeding the same MXU dots), forward and backward."""
+    g = _graph(rng)
+    adj_np = np.asarray(gat_dense_adj(g))
+    H, C = 3, 5
+    n = g.num_nodes
+    d, s, h = _inputs(rng, n, H, C)
+    proj = jnp.asarray(rng.normal(size=(n, H * C)).astype(np.float32))
+    op_b = _op(adj_np)
+    op_s = PackedFlashGat(adj_np, window=128, tile=128, onehot=mode)
+
+    out_b = np.asarray(op_b(d, s, h, 0.0, rate=0.0))
+    out_s = np.asarray(op_s(d, s, h, 0.0, rate=0.0))
+    np.testing.assert_allclose(out_s, out_b, rtol=1e-6, atol=1e-6)
+
+    def loss(op, d, s, h):
+        return jnp.sum(op(d, s, h, 0.0, rate=0.0) * proj)
+
+    gb = jax.grad(lambda *a: loss(op_b, *a), argnums=(0, 1, 2))(d, s, h)
+    gs = jax.grad(lambda *a: loss(op_s, *a), argnums=(0, 1, 2))(d, s, h)
+    for a, b in zip(gs, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

@@ -56,6 +56,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geoms", default="1024x256,768x192,512x128")
     ap.add_argument("--K", type=int, default=100)
+    ap.add_argument("--onehot", default="build")
     ap.add_argument("--rate", type=float, default=0.6)
     ap.add_argument("--dataset", default="Pubmed")
     args = ap.parse_args()
@@ -74,7 +75,8 @@ def main():
 
     for geom in args.geoms.split(","):
         w, t = map(int, geom.split("x"))
-        op = PackedFlashGat(adj, window=w, tile=t)
+        op = PackedFlashGat(adj, window=w, tile=t,
+                            onehot=args.onehot)
         fwd = time_layer(op, d, s, h, args.K, rate=args.rate)
         both = time_layer(op, d, s, h, args.K, grad=True,
                           rate=args.rate)

@@ -69,6 +69,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geoms", default="1024x256,1024x128,512x128,512x64")
     ap.add_argument("--K", type=int, default=200)
+    ap.add_argument("--onehot", default="build")
     ap.add_argument("--epoch", action="store_true",
                     help="also time the full training epoch per geom")
     args = ap.parse_args()
@@ -90,7 +91,7 @@ def main():
         w, t = map(int, geom.split("x"))
         op = rgcn_fused_op(graph, et, 46, "embed", in_channels=N,
                            norm=norm_np, backend="packed",
-                           window=w, tile=t)
+                           window=w, tile=t, onehot=args.onehot)
         fwd = time_op(op, xB2d, att, args.K)
         both = time_op(op, xB2d, att, args.K, grad=True)
         print(f"w={w} t={t}: tiles={op.num_tiles} "
@@ -106,9 +107,10 @@ def main():
             fused_ops = (
                 rgcn_fused_op(graph, et, 46, "embed", in_channels=N,
                               norm=norm_np, backend="packed",
-                              window=w, tile=t),
+                              window=w, tile=t, onehot=args.onehot),
                 rgcn_fused_op(graph, et, 46, "transform", norm=norm_np,
-                              backend="packed", window=w, tile=t),
+                              backend="packed", window=w, tile=t,
+                              onehot=args.onehot),
             )
             train_idx = jnp.asarray(np.asarray(data.train_idx))
             y = graph.y
