@@ -120,7 +120,9 @@ def bench_citation_gcn(dataset: str, epochs: int = 200, K: int = 8,
     model = GCN(hidden_channels=16, num_classes=ds.num_classes)
     init_fn, epoch_step, eval_fn = create_gcn_train_step(model, graph,
                                                          closure=True)
-    key = jax.random.PRNGKey(0)
+    # rbg keys: hardware-RNG dropout bits (threefry's (N, 500)
+    # mask generation profiled at ~300 us/epoch-step)
+    key = jax.random.key(0, impl="rbg")
     params0, opt0 = init_fn(key)
 
     # closure-vs-full parity artifacts (same params, train=False)
@@ -200,7 +202,9 @@ def bench_citation_gat(dataset: str, epochs: int = 200, K: int = 8,
     yv = jnp.asarray(np.asarray(graph.y)[seeds])
     tmask = jnp.ones(seeds.shape[0], bool)
     seeds_j = jnp.asarray(seeds)
-    key = jax.random.PRNGKey(0)
+    # rbg keys: hardware-RNG dropout bits (threefry's (N, 500)
+    # mask generation profiled at ~300 us/epoch-step)
+    key = jax.random.key(0, impl="rbg")
     params0 = model.init({"params": key, "dropout": key}, graph, x_in,
                          closure=closure)
     tx = optax.adamw(5e-3, weight_decay=5e-4)
@@ -283,7 +287,9 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
     flash_op = PackedFlashGat(np.asarray(gat_dense_adj(graph)),
                               window=1024, tile=256)
     model = GAT(num_classes=ds.num_classes)
-    key = jax.random.PRNGKey(0)
+    # rbg keys: hardware-RNG dropout bits (threefry's (N, 500)
+    # mask generation profiled at ~300 us/epoch-step)
+    key = jax.random.key(0, impl="rbg")
     params0 = model.init({"params": key, "dropout": key}, graph,
                          graph.x, flash_op=flash_op)
     tx = optax.adamw(5e-3, weight_decay=5e-4)

@@ -62,7 +62,12 @@ class GCN(nn.Module):
 
 def masked_softmax_xent(logits, labels, mask):
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    # one-hot select instead of take_along_axis: the (N, 1) gather ran
+    # as a 200 us 1-lane pass per step on TPU; the compare+multiply is
+    # one full-lane elementwise pass
+    onehot = (labels[:, None]
+              == jnp.arange(logits.shape[-1])[None, :])
+    nll = -jnp.sum(logp * onehot.astype(logp.dtype), axis=-1)
     m = mask.astype(logits.dtype)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 

@@ -51,14 +51,16 @@ def onehot_blocks(locals_2d, tile: int, window: int,
     T*tile*window bytes at int8 (~140 MB per pack side at MUTAG/PubMed
     scale).  Semantics identical to :func:`edge_onehot`: padding slots
     one-hot their (harmless) local value; callers mask via weights.
+
+    MUST be called inside the caller's trace (not eagerly at operator
+    build): a concrete multi-hundred-MB device array closed over a jit
+    is serialized into the compile payload (the remote compiler rejects
+    >600 MB bodies), while this traced one-pass build is hoisted out of
+    the epoch scan by XLA's while-loop invariant code motion — built
+    once per program, resident in HBM, reused by every grid step.
     """
     locals_2d = jnp.asarray(locals_2d)
-    T8 = locals_2d.shape[0]
-
-    @jax.jit
-    def build(l2d):
-        flat = l2d.reshape(T8 * tile, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
-        return (flat == cols).astype(dtype)
-
-    return build(locals_2d)
+    T8 = int(locals_2d.shape[0])
+    flat = locals_2d.reshape(T8 * tile, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    return (flat == cols).astype(dtype)

@@ -132,7 +132,8 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
                 cols_ref, *rest, H, C, rate, slope, tile,
-                window, side, merge_dd=False, stream=False):
+                window, side, merge_dd=False, dd_compact=True,
+                stream=False):
     """Shared backward body over a pack.
 
     side='dst' (dst-major pack): scatter by ldst -> dd (window, H).
@@ -219,18 +220,27 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
     if merge_dd:
         ddf_ref = maybe_dd[0]
-        dzpre = dz                                     # (tile, H)
         ddc = jax.lax.dot_general(
-            gd, dzpre.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            gd, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # (window, H)
+        if dd_compact:
+            # per-tile COMPACT store (block (window, H) at row
+            # t*window) — no zeroing, no dynamic-slice RMW (the old
+            # full-VMEM accumulator cost ~1.3 us/tile, 38% of the
+            # kernel at H=8); the receiver-window segment-sum happens
+            # outside in XLA over (T, window, H).  For H < 8 the
+            # per-tile 1-lane block store costs more than the RMW it
+            # replaces (profiled: conv2 H=1 +0.28 ms), so narrow
+            # heads keep the dynamic-slice accumulator.
+            ddf_ref[:] = ddc
+        else:
+            @pl.when(t == 0)
+            def _():
+                ddf_ref[:] = jnp.zeros_like(ddf_ref)
 
-        @pl.when(t == 0)
-        def _():
-            ddf_ref[:] = jnp.zeros_like(ddf_ref)
-
-        off = dw_ref[t] * window
-        ddf_ref[pl.ds(off, window), :] = \
-            ddf_ref[pl.ds(off, window), :] + ddc
+            off = dw_ref[t] * window
+            ddf_ref[pl.ds(off, window), :] = \
+                ddf_ref[pl.ds(off, window), :] + ddc
 
 
 class PackedFlashGat:
@@ -245,7 +255,8 @@ class PackedFlashGat:
     def __init__(self, adj_bool=None, senders=None, receivers=None,
                  num_nodes=None, negative_slope: float = 0.2,
                  window: int = 1024, tile: int = 512,
-                 interpret: bool = None, onehot: str = "build"):
+                 interpret: bool = None, onehot: str = "build",
+                 merge_dd: bool = None):
         """``onehot``: 'build' regenerates the (tile, window) one-hots
         in-kernel (no HBM cost); 'stream_int8' / 'stream_bf16'
         precompute them once on device and DMA them per tile — the
@@ -263,6 +274,7 @@ class PackedFlashGat:
         self.window, self.tile = window, tile
         assert onehot in ("build", "stream_int8", "stream_bf16")
         self.onehot = onehot
+        self._merge_dd = merge_dd
         # dst-major pack (fwd + dd backward): scatter side = receivers
         self.fwd_pack = pack_windows(senders, receivers, self.n,
                                      window=window, tile=tile)
@@ -298,21 +310,12 @@ class PackedFlashGat:
                                      else pk.tile_dst_win),
                 first=jnp.asarray(pk.tile_first),
             )
-            if onehot != "build":
-                from pytorch_geometric_tpu.ops.kernel_util import (
-                    onehot_blocks)
-                bdt = (jnp.int8 if onehot == "stream_int8"
-                       else jnp.bfloat16)
-                self._dev[name]["g1b"] = onehot_blocks(
-                    self._dev[name]["lsend"], tile, window, bdt)
-                self._dev[name]["gdb"] = onehot_blocks(
-                    self._dev[name]["lrecv"], tile, window, bdt)
         self._interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
         self._cache = {}
 
     def _pallas(self, pk, kernel, n_out_cols, H, HC, with_g, out_on,
-                extra_full_out=None):
+                extra_full_out=None, dd_compact=True):
         """Build a pallas_call.  Scalar-prefetch order: (gw, dw, first,
         seed) where gw = sender-window ids (gathers s|h), dw =
         receiver-window ids (gathers d and grads); output block follows
@@ -346,13 +349,25 @@ class PackedFlashGat:
         out_shape = jax.ShapeDtypeStruct((ndw * W, n_out_cols),
                                          jnp.float32)
         if extra_full_out is not None:
-            npad = ndw * W
-            out_specs = [out_specs,
-                         pl.BlockSpec((npad, extra_full_out),
-                                      lambda t, gw, dw, f, s: (0, 0))]
-            out_shape = [out_shape,
-                         jax.ShapeDtypeStruct((npad, extra_full_out),
-                                              jnp.float32)]
+            if dd_compact:
+                # per-tile compact blocks, reduced by receiver window
+                # in XLA afterwards (see _bwd_kernel merge_dd comment)
+                out_specs = [out_specs,
+                             pl.BlockSpec((W, extra_full_out),
+                                          lambda t, gw, dw, f, s:
+                                          (t, 0))]
+                out_shape = [out_shape,
+                             jax.ShapeDtypeStruct(
+                                 (T * W, extra_full_out), jnp.float32)]
+            else:
+                npad_ = ndw * W
+                out_specs = [out_specs,
+                             pl.BlockSpec((npad_, extra_full_out),
+                                          lambda t, gw, dw, f, s:
+                                          (0, 0))]
+                out_shape = [out_shape,
+                             jax.ShapeDtypeStruct(
+                                 (npad_, extra_full_out), jnp.float32)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4, grid=(T,), in_specs=in_specs,
             out_specs=out_specs)
@@ -378,15 +393,18 @@ class PackedFlashGat:
         # dd is only (npad, H): when it fits VMEM comfortably, emit it
         # from the src-pack backward kernel (dynamic-slice accumulation
         # at receiver-window offsets) and skip the dst-pack pass
-        merge_dd = npad * H * 4 <= 8 * 1024 * 1024
+        merge_dd = (npad * H * 4 <= 8 * 1024 * 1024
+                    if self._merge_dd is None else self._merge_dd)
+        dd_compact = H >= 8
         if merge_dd:
             bwd_dst_call = None
             bwd_src_call = self._pallas(
                 self.bwd_pack,
                 functools.partial(_bwd_kernel, side="src",
-                                  merge_dd=True, **kw),
+                                  merge_dd=True, dd_compact=dd_compact,
+                                  **kw),
                 H + HC, H, HC, with_g=True, out_on="gw",
-                extra_full_out=H)
+                extra_full_out=H, dd_compact=dd_compact)
         else:
             bwd_dst_call = self._pallas(
                 self.fwd_pack,
@@ -406,8 +424,21 @@ class PackedFlashGat:
             num_den, _ = _raw_fwd(d, s, h2d, seed)
             return num_den
 
-        blk_f = ((dv_f["g1b"], dv_f["gdb"]) if stream else ())
-        blk_b = ((dv_b["g1b"], dv_b["gdb"]) if stream else ())
+        if stream:
+            from pytorch_geometric_tpu.ops.kernel_util import (
+                onehot_blocks)
+            bdt = (jnp.int8 if self.onehot == "stream_int8"
+                   else jnp.bfloat16)
+            tile = self.tile
+
+            # traced lazily per call; XLA loop-invariant code motion
+            # hoists the build out of the caller's epoch scan
+            def blk(dv):
+                return (onehot_blocks(dv["lsend"], tile, W, bdt),
+                        onehot_blocks(dv["lrecv"], tile, W, bdt))
+        else:
+            def blk(dv):
+                return ()
 
         def _raw_fwd(d, s, h2d, seed):
             seed_i = jnp.reshape(seed.astype(jnp.int32), (1,))
@@ -419,40 +450,55 @@ class PackedFlashGat:
             acc = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], seed_i,
                            sh, dp, m, dv_f["lsend"], dv_f["lrecv"],
-                           dv_f["eid"], cols, *blk_f)
+                           dv_f["eid"], cols, *blk(dv_f))
             return acc[:n], (sh, dp, m, seed_i)
 
         def _raw_bwd(res, g_acc):
             sh, dp, m, seed_i = res
             gp = jnp.pad(g_acc, ((0, npad - n), (0, 0)))   # (npad, HC+H)
             if merge_dd:
-                dsdh, dd = bwd_src_call(
+                dsdh, dd_tiles = bwd_src_call(
                     dv_b["send_win"], dv_b["recv_win"], dv_b["first"],
                     seed_i, sh, dp, m, gp, dv_b["lsend"],
-                    dv_b["lrecv"], dv_b["eid"], cols, *blk_b)
+                    dv_b["lrecv"], dv_b["eid"], cols, *blk(dv_b))
+                if dd_compact:
+                    T_b = self.bwd_pack.num_tiles
+                    dd = jax.ops.segment_sum(
+                        dd_tiles.reshape(T_b, W, H),
+                        dv_b["recv_win"][:T_b],
+                        num_segments=npad // W).reshape(npad, H)
+                else:
+                    dd = dd_tiles
             else:
                 dd = bwd_dst_call(dv_f["send_win"], dv_f["recv_win"],
                                   dv_f["first"], seed_i,
                                   sh, dp, m, gp, dv_f["lsend"],
                                   dv_f["lrecv"], dv_f["eid"], cols,
-                                  *blk_f)
+                                  *blk(dv_f))
                 dsdh = bwd_src_call(dv_b["send_win"], dv_b["recv_win"],
                                     dv_b["first"], seed_i,
                                     sh, dp, m, gp, dv_b["lsend"],
                                     dv_b["lrecv"], dv_b["eid"], cols,
-                                    *blk_b)
+                                    *blk(dv_b))
             return (dd[:n], dsdh[:n, :H], dsdh[:n, H:],
                     jnp.zeros((), jnp.float32))
 
         raw.defvjp(_raw_fwd, _raw_bwd)
 
+        # (H, HC) head-broadcast matrix in f32 for the outer division
+        hexp = np.kron(np.eye(H, dtype=np.float32),
+                       np.ones((1, C), np.float32))
+
         def call(d, s, h2d, seed):
             acc = raw(d, s, h2d, seed)
             num, den = acc[:, :HC], acc[:, HC:]
             den = jnp.maximum(den, 1e-20)
-            return jnp.concatenate(
-                [num[:, hd * C:(hd + 1) * C] / den[:, hd:hd + 1]
-                 for hd in range(H)], axis=1)
+            # head-broadcast via one tiny MXU matmul, then a full-lane
+            # 2-D divide: the per-head slice loop this replaces ran 8
+            # narrow 8/128-lane passes (~1 ms/step of XLA glue), and a
+            # reshape-to-3D divide materialised a 374 us/step copy in
+            # its transpose
+            return num / (den @ hexp)
 
         return call
 

@@ -239,15 +239,6 @@ class PackedRgcnSpmm:
                      "bwd": slot_arrays(self.bwd_pack, True)}
         assert onehot in ("build", "stream_int8", "stream_bf16")
         self.onehot = onehot
-        if onehot != "build":
-            from pytorch_geometric_tpu.ops.kernel_util import (
-                onehot_blocks)
-            bdt = jnp.int8 if onehot == "stream_int8" else jnp.bfloat16
-            for dv in self._dev.values():
-                dv["g1b"] = onehot_blocks(dv["lsend"], tile, window,
-                                          bdt)
-                dv["gdb"] = onehot_blocks(dv["lrecv"], tile, window,
-                                          bdt)
         self._interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
         self._cache = {}
@@ -301,8 +292,23 @@ class PackedRgcnSpmm:
             [jax.ShapeDtypeStruct((npad, BC), jnp.float32),
              jax.ShapeDtypeStruct((Rp, B), jnp.float32)])
         dv_f, dv_b = self._dev["fwd"], self._dev["bwd"]
-        blk_f = ((dv_f["g1b"], dv_f["gdb"]) if stream else ())
-        blk_b = ((dv_b["g1b"], dv_b["gdb"]) if stream else ())
+        if stream:
+            from pytorch_geometric_tpu.ops.kernel_util import (
+                onehot_blocks)
+            bdt = (jnp.int8 if self.onehot == "stream_int8"
+                   else jnp.bfloat16)
+
+            # traced lazily per call (NOT materialised at build): a
+            # concrete multi-hundred-MB block table closed over a jit
+            # is serialized into the remote-compile payload; the traced
+            # build is hoisted out of the caller's epoch scan by XLA
+            # loop-invariant code motion
+            def blk(dv):
+                return (onehot_blocks(dv["lsend"], tile, W, bdt),
+                        onehot_blocks(dv["lrecv"], tile, W, bdt))
+        else:
+            def blk(dv):
+                return ()
 
         def pad_rows(x, rows):
             return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
@@ -320,7 +326,7 @@ class PackedRgcnSpmm:
             out = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], xp, ap, dv_f["lsend"],
                            dv_f["lrecv"], dv_f["rel"], dv_f["w"],
-                           cols, *blk_f)
+                           cols, *blk(dv_f))
             return out[:n], (xp, ap)
 
         R = self.R
@@ -331,7 +337,7 @@ class PackedRgcnSpmm:
             dxb, datt = bwd_call(dv_b["send_win"], dv_b["recv_win"],
                                  dv_b["first"], xp, ap, gp,
                                  dv_b["lsend"], dv_b["lrecv"],
-                                 dv_b["rel"], dv_b["w"], cols, *blk_b)
+                                 dv_b["rel"], dv_b["w"], cols, *blk(dv_b))
             return dxb[:ns], datt[:R]
 
         f.defvjp(_fwd, _bwd)
