@@ -469,11 +469,17 @@ def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
     train_idx = jnp.asarray(np.asarray(data.train_idx))
     test_idx = jnp.asarray(np.asarray(data.test_idx))
     y = graph.y
+    tm_np = np.zeros(graph.num_nodes, np.float32)
+    tm_np[np.asarray(data.train_idx)] = 1.0
+    train_mask = jnp.asarray(tm_np)
+    n_train = float(tm_np.sum())
     model = Net(num_nodes=graph.num_nodes, num_relations=46,
                 num_classes=2)
     params0 = model.init(jax.random.PRNGKey(0), graph, et, norm,
                          fused_ops=fused_ops)
-    tx = optax.adam(0.01)
+    # bf16 first moment: the Adam elementwise passes over the 11.3M
+    # embed-layer params profiled at 0.89 ms/epoch-step (HBM-bound)
+    tx = optax.adam(0.01, mu_dtype=jnp.bfloat16)
     opt0 = tx.init(params0)
 
     def epoch_step(carry, _):
@@ -483,10 +489,11 @@ def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
             logits = model.apply(p, graph, et, norm,
                                  fused_ops=fused_ops)
             logp = jax.nn.log_softmax(logits)
-            sel = jnp.take(logp, train_idx, axis=0)
-            lab = jnp.take(y, train_idx).astype(jnp.int32)
-            return -jnp.mean(
-                jnp.take_along_axis(sel, lab[:, None], axis=1))
+            # full-lane mask/one-hot selection: the gather + 1-lane
+            # take_along_axis pair profiled at ~230 us/epoch-step
+            oh = (y[:, None] == jnp.arange(logp.shape[1])[None, :])
+            nll = -jnp.sum(logp * oh.astype(logp.dtype), axis=1)
+            return jnp.sum(nll * train_mask) / n_train
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx.update(grads, opt, params)
