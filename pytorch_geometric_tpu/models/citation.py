@@ -60,14 +60,17 @@ class GCN(nn.Module):
         return x  # logits; log_softmax applied in the loss
 
 
-def masked_softmax_xent(logits, labels, mask):
+def softmax_xent_int_labels(logits, labels):
+    """Mean NLL with integer labels via a full-lane one-hot select
+    (take_along_axis runs as a 1-lane gather pass on TPU)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    # one-hot select instead of take_along_axis: the (N, 1) gather ran
-    # as a 200 us 1-lane pass per step on TPU; the compare+multiply is
-    # one full-lane elementwise pass
-    onehot = (labels[:, None]
+    onehot = (labels[:, None].astype(jnp.int32)
               == jnp.arange(logits.shape[-1])[None, :])
-    nll = -jnp.sum(logp * onehot.astype(logp.dtype), axis=-1)
+    return -jnp.sum(logp * onehot.astype(logp.dtype), axis=-1)
+
+
+def masked_softmax_xent(logits, labels, mask):
+    nll = softmax_xent_int_labels(logits, labels)
     m = mask.astype(logits.dtype)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -201,9 +204,7 @@ def _create_gcn_closure_train_step(model: GCN, graph: Graph,
                              closure=layers,
                              closure_norms=closure_norms,
                              rngs={"dropout": key})[:n_train]
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        loss = -jnp.mean(jnp.take_along_axis(
-            logp, labels[:, None], axis=-1))
+        loss = jnp.mean(softmax_xent_int_labels(logits, labels))
         wd = sum(jnp.sum(p ** 2) for p in
                  jax.tree_util.tree_leaves(params["params"]["conv1"]))
         return loss + weight_decay * wd, logits

@@ -34,9 +34,8 @@ class GraphClassifier(nn.Module):
 
 
 def graph_xent_loss(logits, y, graph_mask):
-    import jax
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
-                               axis=-1)[:, 0]
+    from pytorch_geometric_tpu.models.citation import (
+        softmax_xent_int_labels)
+    nll = softmax_xent_int_labels(logits, y)
     m = graph_mask.astype(logits.dtype)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)

@@ -178,9 +178,9 @@ def train_part_graphcls(model, train_loader, test_loader, params,
         def loss_fn(p):
             logits = model.apply(p, graph, train=True,
                                  rngs={"dropout": key})
-            logp = jax.nn.log_softmax(logits)
-            y = graph.y.astype(jnp.int32)
-            nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            from pytorch_geometric_tpu.models.citation import (
+                softmax_xent_int_labels)
+            nll = softmax_xent_int_labels(logits, graph.y)
             m = graph.graph_mask.astype(jnp.float32)
             return jnp.sum(nll * m) / jnp.maximum(m.sum(), 1.0)
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -242,9 +242,9 @@ def train_part_graphcls_dp(model, train_list_loader, test_loader, params,
 
     def loss_fn(p, graph, rng):
         logits = model.apply(p, graph, train=True, rngs={"dropout": rng})
-        logp = jax.nn.log_softmax(logits)
-        y = graph.y.astype(jnp.int32)
-        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        from pytorch_geometric_tpu.models.citation import (
+            softmax_xent_int_labels)
+        nll = softmax_xent_int_labels(logits, graph.y)
         m = graph.graph_mask.astype(jnp.float32)
         return jnp.sum(nll * m) / jnp.maximum(m.sum(), 1.0)
 
