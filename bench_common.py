@@ -286,7 +286,17 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
     graph = from_data(reorder_graph(ds[0]))
     flash_op = PackedFlashGat(np.asarray(gat_dense_adj(graph)),
                               window=1024, tile=256)
-    model = GAT(num_classes=ds.num_classes)
+    C = ds.num_classes
+    # raw_final: conv2 hands back its undivided num‖den accumulator so
+    # the loss gathers the ~60-120 train rows BEFORE the (N, C)
+    # division/log-softmax chain — those narrow arrays are 128-lane
+    # padded, and running the chain over all N costs ~0.5 ms/step
+    model = GAT(num_classes=C, raw_final=True)
+    model_eval = GAT(num_classes=C)
+    train_idx = jnp.asarray(
+        np.flatnonzero(np.asarray(graph.train_mask)), jnp.int32)
+    y_train = jnp.asarray(np.asarray(graph.y)[np.asarray(train_idx)])
+    ones_mask = jnp.ones(train_idx.shape[0], bool)
     # rbg keys: hardware-RNG dropout bits (threefry's (N, 500)
     # mask generation profiled at ~300 us/epoch-step)
     key = jax.random.key(0, impl="rbg")
@@ -300,11 +310,13 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
         key, sub = jax.random.split(key)
 
         def loss_fn(p):
-            logits = model.apply(p, graph, graph.x, train=True,
-                                 flash_op=flash_op,
-                                 rngs={"dropout": sub})
-            return masked_softmax_xent(logits, graph.y,
-                                       graph.train_mask)
+            acc = model.apply(p, graph, graph.x, train=True,
+                              flash_op=flash_op,
+                              rngs={"dropout": sub})
+            a = jnp.take(acc, train_idx, axis=0)      # (n_train, C+1)
+            logits = (a[:, :C] / jnp.maximum(a[:, C:], 1e-20)
+                      + p["params"]["conv2"]["bias"])
+            return masked_softmax_xent(logits, y_train, ones_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx.update(grads, opt, params)
@@ -320,7 +332,7 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
             return (acc + losses[-1], p, o), None
         (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
                                       jnp.arange(K))
-        logits = model.apply(p, graph, graph.x, flash_op=flash_op)
+        logits = model_eval.apply(p, graph, graph.x, flash_op=flash_op)
         ev = {
             "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),
             "test_acc": masked_accuracy(logits, graph.y,

@@ -24,6 +24,10 @@ class GAT(nn.Module):
     hidden: int = 8
     heads: int = 8
     dropout: float = 0.6
+    # fused-backend-only: make conv2 return its raw num‖den accumulator
+    # (see GATConv.raw_out) so a train-mask loss can gather rows before
+    # the lane-padded (N, num_classes) division/softmax glue
+    raw_final: bool = False
 
     @nn.compact
     def __call__(self, graph, x, *, train: bool = False, adj=None,
@@ -36,11 +40,9 @@ class GAT(nn.Module):
         x = nn.elu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = GATConv(self.num_classes, heads=1, concat=False,
-                    dropout=self.dropout, name="conv2")(graph, x,
-                                                        train=train,
-                                                        adj=adj,
-                                                        flash_op=flash_op,
-                                                        closure=cl2)
+                    dropout=self.dropout, raw_out=self.raw_final,
+                    name="conv2")(graph, x, train=train, adj=adj,
+                                  flash_op=flash_op, closure=cl2)
         return x
 
 

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from pytorch_geometric_tpu.data.graph import Graph
@@ -58,6 +59,10 @@ class GATConv(nn.Module):
     dropout: float = 0.0
     use_bias: bool = True
     add_self_loops: bool = True
+    # fused-backend-only: return the raw (N, H*C + H) num‖den kernel
+    # accumulator (bias param still created, NOT added) so the caller
+    # can gather loss rows before the narrow-lane division chain
+    raw_out: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, x, *, train: bool = False,
@@ -69,28 +74,44 @@ class GATConv(nn.Module):
         N = graph.num_nodes
 
         weight = self.param("weight", glorot, (x.shape[-1], H * C))
-        h = jnp.dot(x, weight,
-                    preferred_element_type=jnp.float32).reshape(N, H, C)
-
         att_src = self.param("att_src", glorot, (1, H, C))
         att_dst = self.param("att_dst", glorot, (1, H, C))
-        alpha_src = jnp.sum(h * att_src, axis=-1)   # (N, H)
-        alpha_dst = jnp.sum(h * att_dst, axis=-1)
 
         if flash_op is not None:
-            # fused Pallas path (ops/flash_gat.py): one kernel fwd, one
-            # bwd; dropout bits regenerated in-kernel from the seed
+            # fused Pallas path (ops/packed_gat.py et al.): one kernel
+            # fwd, one bwd; dropout bits regenerated in-kernel from the
+            # seed.  The whole path stays 2-D: the (N, H, C) reshape the
+            # other paths use forces XLA into an (8, 128)-padded 3-D
+            # layout whose backward materialises a ~374 us relayout copy
+            # per step at PubMed scale, so the per-head alpha reductions
+            # are expressed as (HC, H) block-diagonal matmuls instead.
+            h2 = jnp.dot(x, weight,
+                         preferred_element_type=jnp.float32)   # (N, HC)
+            blk = jnp.asarray(np.kron(np.eye(H, dtype=np.float32),
+                                      np.ones((C, 1), np.float32)))
+            alpha_src = h2 @ (att_src.reshape(H * C, 1) * blk)  # (N, H)
+            alpha_dst = h2 @ (att_dst.reshape(H * C, 1) * blk)
             if self.dropout > 0 and train:
                 rng = self.make_rng("dropout")
                 seed = jax.random.randint(rng, (), 0, 1 << 20)
-                out = flash_op(alpha_dst, alpha_src,
-                               h.reshape(N, H * C),
-                               seed.astype(jnp.float32),
-                               rate=self.dropout)
+                kw = dict(rate=self.dropout)
+                seed = seed.astype(jnp.float32)
             else:
-                out = flash_op(alpha_dst, alpha_src,
-                               h.reshape(N, H * C), 0.0, rate=0.0)
-            return self._finalize(out.reshape(N, H, C), N, H, C)
+                kw, seed = dict(rate=0.0), 0.0
+            if self.raw_out:
+                acc = flash_op(alpha_dst, alpha_src, h2, seed,
+                               raw_out=True, **kw)
+                if self.use_bias:   # param-shape parity with _finalize2d
+                    self.param("bias", zeros,
+                               (H * C,) if self.concat else (C,))
+                return acc
+            out = flash_op(alpha_dst, alpha_src, h2, seed, **kw)
+            return self._finalize2d(out, H, C)
+
+        h = jnp.dot(x, weight,
+                    preferred_element_type=jnp.float32).reshape(N, H, C)
+        alpha_src = jnp.sum(h * att_src, axis=-1)   # (N, H)
+        alpha_dst = jnp.sum(h * att_dst, axis=-1)
 
         if adj is not None:
             out = self._dense_attention(h, alpha_src, alpha_dst, adj,
@@ -226,6 +247,22 @@ class GATConv(nn.Module):
             h.astype(jnp.bfloat16).transpose(1, 0, 2),
             preferred_element_type=jnp.float32)           # (H, N, C)
         return out.transpose(1, 0, 2)                     # (N, H, C)
+
+    def _finalize2d(self, out, H, C):
+        """Head concat/mean + bias on a flat (N, H*C) block — no 3-D
+        layout.  Head-mean is a constant (HC, C) matmul; H == 1 is a
+        no-op."""
+        if not self.concat:
+            if H > 1:
+                mean_mat = jnp.asarray(
+                    np.tile(np.eye(C, dtype=np.float32), (H, 1)) / H)
+                out = out @ mean_mat
+            bias_shape = (C,)
+        else:
+            bias_shape = (H * C,)
+        if self.use_bias:
+            out = out + self.param("bias", zeros, bias_shape)
+        return out
 
     def _finalize(self, out, N, H, C):
         if self.concat:

@@ -220,20 +220,29 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
     if merge_dd:
         ddf_ref = maybe_dd[0]
-        ddc = jax.lax.dot_general(
-            gd, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (window, H)
         if dd_compact:
-            # per-tile COMPACT store (block (window, H) at row
-            # t*window) — no zeroing, no dynamic-slice RMW (the old
-            # full-VMEM accumulator cost ~1.3 us/tile, 38% of the
+            # per-tile COMPACT store, TRANSPOSED: block (H, window) at
+            # column t*window — no zeroing, no dynamic-slice RMW (the
+            # old full-VMEM accumulator cost ~1.3 us/tile, 38% of the
             # kernel at H=8); the receiver-window segment-sum happens
-            # outside in XLA over (T, window, H).  For H < 8 the
-            # per-tile 1-lane block store costs more than the RMW it
-            # replaces (profiled: conv2 H=1 +0.28 ms), so narrow
-            # heads keep the dynamic-slice accumulator.
-            ddf_ref[:] = ddc
+            # outside in XLA.  Transposed because a (T*W, H) output
+            # has an H-wide minor dim that XLA pads to 128 lanes
+            # (~280 MB physical at PubMed scale — its relayout copy
+            # profiled at 374-660 us/step); (H, T*W) is compact.  The
+            # transposed form is free in-kernel: same contraction with
+            # the operands swapped.  For H < 8 the per-tile 1-lane
+            # block store costs more than the RMW it replaces
+            # (profiled: conv2 H=1 +0.28 ms), so narrow heads keep
+            # the dynamic-slice accumulator.
+            ddf_ref[:] = jax.lax.dot_general(
+                dz.astype(jnp.bfloat16), gd,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (H, window)
         else:
+            ddc = jax.lax.dot_general(
+                gd, dz.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (window, H)
+
             @pl.when(t == 0)
             def _():
                 ddf_ref[:] = jnp.zeros_like(ddf_ref)
@@ -350,15 +359,16 @@ class PackedFlashGat:
                                          jnp.float32)
         if extra_full_out is not None:
             if dd_compact:
-                # per-tile compact blocks, reduced by receiver window
-                # in XLA afterwards (see _bwd_kernel merge_dd comment)
+                # per-tile compact TRANSPOSED (H, W) blocks, reduced by
+                # receiver window in XLA afterwards (see _bwd_kernel
+                # merge_dd comment on why the (H, T*W) orientation)
                 out_specs = [out_specs,
-                             pl.BlockSpec((W, extra_full_out),
+                             pl.BlockSpec((extra_full_out, W),
                                           lambda t, gw, dw, f, s:
-                                          (t, 0))]
+                                          (0, t))]
                 out_shape = [out_shape,
                              jax.ShapeDtypeStruct(
-                                 (T * W, extra_full_out), jnp.float32)]
+                                 (extra_full_out, T * W), jnp.float32)]
             else:
                 npad_ = ndw * W
                 out_specs = [out_specs,
@@ -395,7 +405,11 @@ class PackedFlashGat:
         # at receiver-window offsets) and skip the dst-pack pass
         merge_dd = (npad * H * 4 <= 8 * 1024 * 1024
                     if self._merge_dd is None else self._merge_dd)
-        dd_compact = H >= 8
+        # transposed (H, T*W) compact stores are full-lane (1, window)
+        # blocks even at H=1, so every head count takes the compact
+        # path (the pre-transpose (T*W, H) form lost at H < 8: 1-LANE
+        # block stores, profiled +0.28 ms/step on conv2)
+        dd_compact = True
         if merge_dd:
             bwd_dst_call = None
             bwd_src_call = self._pallas(
@@ -462,11 +476,18 @@ class PackedFlashGat:
                     seed_i, sh, dp, m, gp, dv_b["lsend"],
                     dv_b["lrecv"], dv_b["eid"], cols, *blk(dv_b))
                 if dd_compact:
+                    # dd_tiles is (H, T*W) — compact minor dim (a
+                    # (T*W, H) orientation is 128-lane padded, ~280 MB
+                    # physical; its relayout copy profiled at 374-660
+                    # us/step).  Per-head segment-sum over the tile
+                    # axis, then one small (H, nw, W) -> (npad, H)
+                    # transpose (~0.8 MB)
                     T_b = self.bwd_pack.num_tiles
-                    dd = jax.ops.segment_sum(
-                        dd_tiles.reshape(T_b, W, H),
-                        dv_b["recv_win"][:T_b],
-                        num_segments=npad // W).reshape(npad, H)
+                    dd3 = jax.vmap(lambda m: jax.ops.segment_sum(
+                        m, dv_b["recv_win"][:T_b],
+                        num_segments=npad // W))(
+                            dd_tiles.reshape(H, T_b, W))
+                    dd = dd3.transpose(1, 2, 0).reshape(npad, H)
                 else:
                     dd = dd_tiles
             else:
@@ -500,12 +521,20 @@ class PackedFlashGat:
             # its transpose
             return num / (den @ hexp)
 
-        return call
+        return {"call": call, "raw": raw}
 
-    def __call__(self, d, s, h2d, seed, rate: float = 0.0):
+    def __call__(self, d, s, h2d, seed, rate: float = 0.0,
+                 raw_out: bool = False):
+        """``raw_out=True`` returns the undivided (N, H*C + H) num‖den
+        accumulator so callers that only consume a few rows (e.g. a
+        train-mask loss) can gather BEFORE the narrow-lane division
+        chain — at PubMed scale the (N, 3)-shaped softmax/div glue is
+        128-lane padded and costs ~0.5 ms/step when run over all N."""
         H = d.shape[1]
         C = h2d.shape[1] // H
         key = (H, C, float(rate))
         if key not in self._cache:
             self._cache[key] = self._build(*key)
-        return self._cache[key](d, s, h2d, jnp.asarray(seed, jnp.float32))
+        fns = self._cache[key]
+        fn = fns["raw"] if raw_out else fns["call"]
+        return fn(d, s, h2d, jnp.asarray(seed, jnp.float32))

@@ -34,8 +34,13 @@ def build_gat_pubmed(epochs):
                               window=1024, tile=256)
     from pytorch_geometric_tpu.models.citation import (
         masked_softmax_xent)
-    model = GAT(num_classes=3)
-    key = jax.random.PRNGKey(0)
+    C = 3
+    model = GAT(num_classes=C, raw_final=True)
+    train_idx = jnp.asarray(
+        np.flatnonzero(np.asarray(graph.train_mask)), jnp.int32)
+    y_train = jnp.asarray(np.asarray(graph.y)[np.asarray(train_idx)])
+    ones_mask = jnp.ones(train_idx.shape[0], bool)
+    key = jax.random.key(0, impl="rbg")
     params0 = model.init({"params": key, "dropout": key}, graph,
                          graph.x, flash_op=flash_op)
     tx = optax.adamw(5e-3, weight_decay=5e-4)
@@ -46,11 +51,13 @@ def build_gat_pubmed(epochs):
         key, sub = jax.random.split(key)
 
         def loss_fn(p):
-            logits = model.apply(p, graph, graph.x, train=True,
-                                 flash_op=flash_op,
-                                 rngs={"dropout": sub})
-            return masked_softmax_xent(logits, graph.y,
-                                       graph.train_mask)
+            acc = model.apply(p, graph, graph.x, train=True,
+                              flash_op=flash_op,
+                              rngs={"dropout": sub})
+            a = jnp.take(acc, train_idx, axis=0)
+            logits = (a[:, :C] / jnp.maximum(a[:, C:], 1e-20)
+                      + p["params"]["conv2"]["bias"])
+            return masked_softmax_xent(logits, y_train, ones_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx.update(grads, opt, params)
