@@ -192,3 +192,65 @@ def test_packed_eight_head_grads_match_dense(rng):
         # signal
         rel_l2 = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
         assert rel_l2 < 0.05, f"grad rel-L2 {rel_l2}"
+
+
+def test_packed_raw_out_matches_divided_path(rng):
+    """raw_out=True returns the undivided num‖den accumulator (the
+    bench gathers loss rows from it before the lane-padded division
+    chain); dividing it by hand must reproduce the normal output, and
+    gradients through a gathered-row loss must agree between paths."""
+    g = _graph(rng)
+    op = _op(np.asarray(gat_dense_adj(g)))
+    H, C = 2, 4
+    n = g.num_nodes
+    d, s, h = _inputs(rng, n, H, C)
+
+    acc = op(d, s, h, 0.0, rate=0.0, raw_out=True)
+    assert acc.shape == (n, H * C + H)
+    num, den = acc[:, :H * C], jnp.maximum(acc[:, H * C:], 1e-20)
+    manual = np.asarray(num / jnp.repeat(den, C, axis=1))
+    full = np.asarray(op(d, s, h, 0.0, rate=0.0))
+    np.testing.assert_allclose(manual, full, rtol=1e-5, atol=1e-5)
+
+    rows = jnp.asarray(np.unique(rng.integers(0, n, 40)), jnp.int32)
+    proj = jnp.asarray(
+        rng.normal(size=(rows.shape[0], H * C)).astype(np.float32))
+
+    def loss_raw(d, s, h):
+        a = jnp.take(op(d, s, h, 0.0, rate=0.0, raw_out=True), rows,
+                     axis=0)
+        nu, de = a[:, :H * C], jnp.maximum(a[:, H * C:], 1e-20)
+        return jnp.sum(nu / jnp.repeat(de, C, axis=1) * proj)
+
+    def loss_full(d, s, h):
+        return jnp.sum(
+            jnp.take(op(d, s, h, 0.0, rate=0.0), rows, axis=0) * proj)
+
+    gr = jax.grad(loss_raw, argnums=(0, 1, 2))(d, s, h)
+    gf = jax.grad(loss_full, argnums=(0, 1, 2))(d, s, h)
+    for a, b, name in zip(gr, gf, ("d", "s", "h")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-3,
+                                   err_msg=f"grad wrt {name}")
+
+
+def test_gatconv_raw_out_layer(rng):
+    """GATConv(raw_out=True) through the fused backend: same params as
+    the normal layer (bias still created), and dividing + bias equals
+    the normal fused output."""
+    g = _graph(rng)
+    op = _op(np.asarray(gat_dense_adj(g)))
+    H, C = 3, 5
+    conv = GATConv(out_channels=C, heads=H)
+    conv_raw = GATConv(out_channels=C, heads=H, raw_out=True)
+    params = conv.init(jax.random.PRNGKey(0), g, g.x, flash_op=op)
+    params_raw = conv_raw.init(jax.random.PRNGKey(0), g, g.x,
+                               flash_op=op)
+    assert jax.tree_util.tree_structure(
+        params) == jax.tree_util.tree_structure(params_raw)
+    out = np.asarray(conv.apply(params, g, g.x, flash_op=op))
+    acc = conv_raw.apply(params, g, g.x, flash_op=op)
+    nu, de = acc[:, :H * C], jnp.maximum(acc[:, H * C:], 1e-20)
+    manual = np.asarray(nu / jnp.repeat(de, C, axis=1)
+                        + params["params"]["bias"])
+    np.testing.assert_allclose(manual, out, rtol=1e-5, atol=1e-5)
