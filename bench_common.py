@@ -285,7 +285,7 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
                    transform=NormalizeFeatures())
     graph = from_data(reorder_graph(ds[0]))
     flash_op = PackedFlashGat(np.asarray(gat_dense_adj(graph)),
-                              window=1024, tile=256)
+                              window=896, tile=224)
     C = ds.num_classes
     # raw_final: conv2 hands back its undivided num‖den accumulator so
     # the loss gathers the ~60-120 train rows BEFORE the (N, C)

@@ -66,7 +66,7 @@ def make_flash_op(graph, backend: str = "auto"):
     if backend in ("auto", "packed"):
         from pytorch_geometric_tpu.ops.packed_gat import PackedFlashGat
         return PackedFlashGat(np.asarray(gat_dense_adj(graph)),
-                              window=1024, tile=256)
+                              window=896, tile=224)
     if backend == "bsr":
         from pytorch_geometric_tpu.ops.bsr_gat import BsrFlashGat
         return BsrFlashGat(np.asarray(gat_dense_adj(graph)))

@@ -408,8 +408,10 @@ class PackedFlashGat:
         # transposed (H, T*W) compact stores are full-lane (1, window)
         # blocks even at H=1, so every head count takes the compact
         # path (the pre-transpose (T*W, H) form lost at H < 8: 1-LANE
-        # block stores, profiled +0.28 ms/step on conv2)
-        dd_compact = True
+        # block stores, profiled +0.28 ms/step on conv2).  The lane-dim
+        # block now needs window % 128 == 0; odd windows fall back to
+        # the dynamic-slice VMEM accumulator.
+        dd_compact = W % 128 == 0
         if merge_dd:
             bwd_dst_call = None
             bwd_src_call = self._pallas(

@@ -31,7 +31,7 @@ def build_gat_pubmed(epochs):
 
     graph = build_graph("Pubmed")
     flash_op = PackedFlashGat(np.asarray(gat_dense_adj(graph)),
-                              window=1024, tile=256)
+                              window=896, tile=224)
     from pytorch_geometric_tpu.models.citation import (
         masked_softmax_xent)
     C = 3
