@@ -67,10 +67,21 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, x, *, train: bool = False,
                  adj: Optional[jnp.ndarray] = None, flash_op=None,
-                 closure=None):
+                 closure=None, shard_ctx=None):
         H, C = self.heads, self.out_channels
+        if self.raw_out and (closure is not None or adj is not None
+                             or flash_op is None):
+            # raw_out semantics (caller divides num/den + adds bias) only
+            # exist on the fused path; returning the finalized output here
+            # would make the caller divide twice and double-add the bias.
+            raise ValueError(
+                "GATConv(raw_out=True) requires the fused flash_op path "
+                "(no closure/adj); the other paths return finalized "
+                "output and would silently break raw semantics")
         if closure is not None:
             return self._closure_call(closure, x, train)
+        if shard_ctx is not None:
+            return self._shard_call(shard_ctx, x)
         N = graph.num_nodes
 
         weight = self.param("weight", glorot, (x.shape[-1], H * C))
@@ -89,8 +100,10 @@ class GATConv(nn.Module):
                          preferred_element_type=jnp.float32)   # (N, HC)
             blk = jnp.asarray(np.kron(np.eye(H, dtype=np.float32),
                                       np.ones((C, 1), np.float32)))
-            alpha_src = h2 @ (att_src.reshape(H * C, 1) * blk)  # (N, H)
-            alpha_dst = h2 @ (att_dst.reshape(H * C, 1) * blk)
+            alpha_src = jnp.dot(h2, att_src.reshape(H * C, 1) * blk,
+                                preferred_element_type=jnp.float32)  # (N, H)
+            alpha_dst = jnp.dot(h2, att_dst.reshape(H * C, 1) * blk,
+                                preferred_element_type=jnp.float32)
             if self.dropout > 0 and train:
                 rng = self.make_rng("dropout")
                 seed = jax.random.randint(rng, (), 0, 1 << 20)
@@ -165,6 +178,33 @@ class GATConv(nn.Module):
             out = summed[:, : H * C].reshape(N, H, C) / denom[..., None]
 
         return self._finalize(out, N, H, C)
+
+    def _shard_call(self, ctx, x):
+        """Distributed attention over an edge partition
+        (parallel/api.py): per-head half-logits are computed locally,
+        the segment-softmax crosses partition boundaries via
+        ``halo_gat`` (parallel/partition.py — one scalar pmax per head
+        plus the single halo feature exchange).  The partition's edges
+        must carry NO pre-existing self loops (GraphPartition appends
+        them, matching PyG's remove-then-add semantics).  Attention
+        dropout is not applied on this path."""
+        from pytorch_geometric_tpu.parallel.partition import halo_gat
+
+        H, C = self.heads, self.out_channels
+        weight = self.param("weight", glorot, (x.shape[-1], H * C))
+        att_src = self.param("att_src", glorot, (1, H, C))
+        att_dst = self.param("att_dst", glorot, (1, H, C))
+        h2 = jnp.dot(x, weight, preferred_element_type=jnp.float32)
+        blk = jnp.asarray(np.kron(np.eye(H, dtype=np.float32),
+                                  np.ones((C, 1), np.float32)))
+        alpha_src = jnp.dot(h2, att_src.reshape(H * C, 1) * blk,
+                            preferred_element_type=jnp.float32)
+        alpha_dst = jnp.dot(h2, att_dst.reshape(H * C, 1) * blk,
+                            preferred_element_type=jnp.float32)
+        out = halo_gat(h2, alpha_src, alpha_dst, ctx.consts["tables"],
+                       ctx.axis, ctx.halo_size, ctx.num_peers, H,
+                       self.negative_slope)
+        return self._finalize2d(out, H, C)
 
     def _closure_call(self, cl, x, train):
         """Bipartite/closure mode (data/closure.py): attention over the
@@ -256,7 +296,8 @@ class GATConv(nn.Module):
             if H > 1:
                 mean_mat = jnp.asarray(
                     np.tile(np.eye(C, dtype=np.float32), (H, 1)) / H)
-                out = out @ mean_mat
+                out = jnp.dot(out, mean_mat,
+                              preferred_element_type=jnp.float32)
             bias_shape = (C,)
         else:
             bias_shape = (H * C,)

@@ -255,7 +255,13 @@ class FlashGatOperator:
         call.defvjp(_fwd, _bwd)
         return call
 
-    def __call__(self, d, s, h2d, seed, rate: float = 0.0):
+    def __call__(self, d, s, h2d, seed, rate: float = 0.0,
+                 raw_out: bool = False):
+        if raw_out:
+            raise NotImplementedError(
+                "raw_out is only supported by the packed backend "
+                "(PackedFlashGat); use backend='packed' for raw_out/"
+                "raw_final")
         H = d.shape[1]
         C = h2d.shape[1] // H
         key = (H, C, float(rate))

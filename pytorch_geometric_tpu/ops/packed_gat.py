@@ -230,10 +230,11 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
             # (~280 MB physical at PubMed scale — its relayout copy
             # profiled at 374-660 us/step); (H, T*W) is compact.  The
             # transposed form is free in-kernel: same contraction with
-            # the operands swapped.  For H < 8 the per-tile 1-lane
-            # block store costs more than the RMW it replaces
-            # (profiled: conv2 H=1 +0.28 ms), so narrow heads keep
-            # the dynamic-slice accumulator.
+            # the operands swapped.  (Historical: the pre-transpose
+            # (window, H) orientation gated this path on H >= 8 because
+            # its 1-lane block stores lost at narrow head counts; the
+            # transposed store is full-lane at any H, so the gate is
+            # now W % 128 == 0 — see dd_compact selection below.)
             ddf_ref[:] = jax.lax.dot_general(
                 dz.astype(jnp.bfloat16), gd,
                 (((0,), (0,)), ((), ())),
