@@ -351,6 +351,118 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
                  "K": K, "kernel": "packed_flash_gat"})
 
 
+def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
+                                 K: int = 4, backend: str = None,
+                                 min_val_acc: float = 0.6,
+                                 min_test_acc: float = 0.6):
+    """FULL-GRAPH (non-closure) GCN 200-epoch training — every edge
+    participates in every epoch's SpMM, answering the reference's
+    strongest published rows (README.md:67-100: Cora 0.25 s,
+    CiteSeer 0.30 s, PubMed 0.32 s on a GTX 1080Ti).
+
+    Aggregation backend: ``dense`` — precomputed normalised adjacency as
+    one bf16 MXU matmul per layer (small N); ``hybrid`` — RCM-reordered
+    HybridSpmm (Pallas dense buckets + XLA sparse remainder).  Default
+    picks dense below ~8k padded nodes.
+    """
+    import optax
+
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets import Planetoid
+    from pytorch_geometric_tpu.models.citation import (
+        GCN, masked_accuracy, softmax_xent_int_labels)
+    from pytorch_geometric_tpu.nn.conv.gcn_conv import (
+        gcn_norm, gcn_norm_dense)
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+    from pytorch_geometric_tpu.utils.reorder import reorder_graph
+
+    ds = Planetoid("datasets_cache", dataset.capitalize(),
+                   transform=NormalizeFeatures())
+    graph = from_data(reorder_graph(ds[0]))
+    if backend is None:
+        backend = "dense" if graph.num_nodes <= 8192 else "hybrid"
+    aggregate_fn, norm_dense = None, None
+    if backend == "dense":
+        norm_dense = gcn_norm_dense(graph, dtype=jnp.bfloat16)
+    elif backend == "hybrid":
+        from pytorch_geometric_tpu.ops.hybrid_spmm import HybridSpmm
+        full_norm = gcn_norm(graph)
+        op = HybridSpmm(np.asarray(full_norm.senders),
+                        np.asarray(full_norm.receivers),
+                        graph.num_nodes, window=1024, tile=256)
+        norm_w = full_norm.weights
+
+        def aggregate_fn(h):
+            return op(norm_w, h)
+    else:
+        raise ValueError(backend)
+
+    model = GCN(hidden_channels=16, num_classes=ds.num_classes)
+    train_idx = jnp.asarray(
+        np.flatnonzero(np.asarray(graph.train_mask)), jnp.int32)
+    y_train = jnp.asarray(np.asarray(graph.y)[np.asarray(train_idx)])
+    # rbg keys: hardware-RNG dropout bits (threefry's (N, F) mask
+    # generation profiled at ~300 us/epoch-step)
+    key = jax.random.key(0, impl="rbg")
+    params0 = model.init({"params": key}, graph, graph.x,
+                         norm_dense=norm_dense,
+                         aggregate_fn=aggregate_fn)
+    tx = optax.adam(0.01)
+    opt0 = tx.init(params0)
+
+    def epoch_step(carry, _):
+        params, opt, key = carry
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            logits = model.apply(p, graph, graph.x, train=True,
+                                 norm_dense=norm_dense,
+                                 aggregate_fn=aggregate_fn,
+                                 rngs={"dropout": sub})
+            # gather the ~60-120 train rows BEFORE the log-softmax/xent
+            # chain: (N, C) is 128-lane padded and the chain + its
+            # backward re-traverse it (same finding as the GAT raw_out
+            # path, PERF.md round 3)
+            lg = jnp.take(logits, train_idx, axis=0)
+            loss = jnp.mean(softmax_xent_int_labels(lg, y_train))
+            wd = sum(jnp.sum(q ** 2) for q in
+                     jax.tree_util.tree_leaves(p["params"]["conv1"]))
+            return loss + 5e-4 * wd
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt, key), loss
+
+    @jax.jit
+    def run(params, opt, key):
+        def one(carry, i):
+            acc, p_keep, o_keep = carry
+            (p, o, _), losses = jax.lax.scan(
+                epoch_step, (params, opt, jax.random.fold_in(key, i)),
+                None, length=epochs)
+            return (acc + losses[-1], p, o), None
+        (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
+                                      jnp.arange(K))
+        logits = model.apply(p, graph, graph.x, norm_dense=norm_dense,
+                             aggregate_fn=aggregate_fn)
+        ev = {
+            "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),
+            "test_acc": masked_accuracy(logits, graph.y,
+                                        graph.test_mask),
+        }
+        return acc, ev
+
+    secs, (_, ev) = time_program(run, params0, opt0, key)
+    per = secs / K
+    val, test = float(ev["val_acc"]), float(ev["test_acc"])
+    assert val > min_val_acc and test > min_test_acc, \
+        f"{dataset} fullgraph gcn acc too low: val={val} test={test}"
+    return emit(f"{dataset}_gcn_fullgraph_{epochs}epoch_wallclock", per,
+                BASELINES[(dataset, "gcn")],
+                {"val_acc": round(val, 4), "test_acc": round(test, 4),
+                 "K": K, "kernel": f"gcn_{backend}"})
+
+
 def bench_rgcn(epochs: int = 200, K: int = 4,
                min_test_acc: float = 0.5):
     """MUTAG-RDF RGCN 200-epoch full-batch (reference README.md:109-114:
@@ -555,6 +667,7 @@ def run_headline_suite(epochs: int = 200, fullgraph: bool = True):
     jobs.append((bench_rgcn, (epochs,)))
     if fullgraph:
         for ds in ("cora", "citeseer", "pubmed"):
+            jobs.append((bench_citation_gcn_fullgraph, (ds, epochs)))
             jobs.append((bench_citation_gat_fullgraph, (ds, epochs)))
         jobs.append((bench_rgcn_fullgraph, (epochs,)))
     records = []
