@@ -106,10 +106,22 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, x, edge_weight=None,
                  norm: Optional[EdgeNorm] = None, spmm_op=None,
-                 norm_dense=None, aggregate_fn=None, closure=None):
+                 norm_dense=None, aggregate_fn=None, closure=None,
+                 shard_ctx=None):
         weight = self.param("weight", glorot, (x.shape[-1],
                                                self.out_channels))
         h = jnp.dot(x, weight, preferred_element_type=jnp.float32)
+        if shard_ctx is not None:
+            # distributed path (parallel/api.py): x is this device's
+            # (S, F) node shard; aggregation = fast-kernel halo SpMM
+            # with the partition's precomputed GCN-norm weighting
+            # (self loops + symmetric normalisation already in the
+            # weights, matching gcn_norm above)
+            out = shard_ctx.aggregate("gcn", h)
+            if self.use_bias:
+                out = out + self.param("bias", zeros,
+                                       (self.out_channels,))
+            return out
         if closure is not None:
             # bipartite/closure mode (data/closure.py): norm is the
             # (w_edge, w_self) pair from gcn_closure_norm — weights use

@@ -21,15 +21,21 @@ class SAGEConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, graph: Graph, x):
+    def __call__(self, graph: Graph, x, shard_ctx=None):
         # PyG 1.4.3 SAGEConv (concat=False): out = W . mean over
         # neighbours *including self*: (sum_j x_j + x_i) / (deg_i + 1).
-        ew = graph.real_edge_mask().astype(x.dtype)
-        s = propagate(graph, x, aggr="add", edge_weight=ew)
-        from pytorch_geometric_tpu.utils.degree import degree
-        deg = degree(graph.receivers, graph.num_nodes, dtype=x.dtype,
-                     mask=graph.edge_mask)
-        mean = (s + x) / (deg + 1.0)[:, None]
+        if shard_ctx is not None:
+            # distributed path (parallel/api.py): the 'mean' weighting
+            # carries 1/(deg+1) over the self-loop-augmented edges, so
+            # one fast halo SpMM IS the self-inclusive mean
+            mean = shard_ctx.aggregate("mean", x)
+        else:
+            ew = graph.real_edge_mask().astype(x.dtype)
+            s = propagate(graph, x, aggr="add", edge_weight=ew)
+            from pytorch_geometric_tpu.utils.degree import degree
+            deg = degree(graph.receivers, graph.num_nodes,
+                         dtype=x.dtype, mask=graph.edge_mask)
+            mean = (s + x) / (deg + 1.0)[:, None]
         weight = self.param("weight", glorot,
                             (x.shape[-1], self.out_channels))
         out = jnp.dot(mean, weight, preferred_element_type=jnp.float32)

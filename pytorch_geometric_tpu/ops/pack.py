@@ -73,26 +73,34 @@ class WindowedPack:
 
 
 def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
-                 native=True):
+                 native=True, num_dst_nodes=None):
     """Bucket edges by (src window, dst window); pad buckets to ``tile``.
 
     Returns a :class:`WindowedPack`.  Empty (window, window) buckets cost
     nothing — only non-empty buckets produce tiles, which is where this
     beats a dense blocked adjacency.
 
+    ``num_dst_nodes`` makes the pack BIPARTITE: senders index a source
+    domain of ``num_nodes`` rows, receivers a destination domain of
+    ``num_dst_nodes`` rows (the halo-partition remote aggregation,
+    parallel/partition.py — recv-buffer rows -> local nodes).  The
+    square case is unchanged.
+
     The hot loop runs in native code when the graphcore library is
     available (cluster/native/graphcore.cpp ``pack_edges``: a stable
     counting sort + linear emit, ~60x the Python bucket loop at 4M
     edges); the numpy path below is the reference implementation and
-    the fallback.
+    the fallback (bipartite packs always take it).
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     E = senders.shape[0]
     n_src_w = max(_cdiv(num_nodes, window), 1)
-    n_dst_w = max(_cdiv(num_nodes, window), 1)
+    bipartite = num_dst_nodes is not None
+    n_dst_w = max(_cdiv(num_dst_nodes if bipartite else num_nodes,
+                        window), 1)
 
-    if native and E:
+    if native and E and not bipartite:
         pk = _pack_windows_native(senders, receivers, num_nodes, E,
                                   n_src_w, n_dst_w, window, tile)
         if pk is not None:

@@ -400,3 +400,158 @@ def _spmm_static_bwd(geom, consts, g):
 
 
 spmm_static.defvjp(_spmm_static_fwd, _spmm_static_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Bipartite static-weight SpMM (src domain != dst domain)
+# ---------------------------------------------------------------------------
+#
+# The halo-partition remote aggregation (parallel/partition.py) maps the
+# (num_peers * halo_size)-row receive buffer onto the S local nodes —
+# a rectangular operator.  Same kernel; the geometry just carries both
+# domain sizes, and the backward (d recv-buffer) is the transposed pack.
+
+class BiSpmmGeom(tuple):
+    """Hashable static geometry for :func:`spmm_bi_static`."""
+
+    __slots__ = ()
+
+    @staticmethod
+    def make(window, tile, n_src_nodes, n_dst_nodes, compute):
+        return BiSpmmGeom((window, tile, int(n_src_nodes),
+                           int(n_dst_nodes),
+                           max(_round_up(int(n_src_nodes), window)
+                               // window, 1),
+                           max(_round_up(int(n_dst_nodes), window)
+                               // window, 1), compute))
+
+    window = property(lambda s: s[0])
+    tile = property(lambda s: s[1])
+    n_src = property(lambda s: s[2])
+    n_dst = property(lambda s: s[3])
+    nsw = property(lambda s: s[4])
+    ndw = property(lambda s: s[5])
+    compute = property(lambda s: s[6])
+
+
+def pack_bipartite_tables(senders, receivers, n_src, n_dst, weights, *,
+                          window=256, tile=256,
+                          compute_dtype=jnp.bfloat16):
+    """Host-side: build the (geom, consts) pair for
+    :func:`spmm_bi_static`.  ``consts['fwd']`` maps src -> dst rows,
+    ``consts['bwd']`` the transpose; weights are pre-packed into both
+    layouts (static per graph — the GCN-norm case)."""
+    w = np.asarray(weights, np.float32)
+    consts = {}
+    for which, (s, r, ns, nd) in (
+            ("fwd", (senders, receivers, n_src, n_dst)),
+            ("bwd", (receivers, senders, n_dst, n_src))):
+        pk = pack_windows(np.asarray(s), np.asarray(r), ns,
+                          window=window, tile=tile, num_dst_nodes=nd)
+        T8 = _round_up(pk.num_tiles, 8)
+
+        def pad_rows(a):
+            if a.shape[0] == T8:
+                return a
+            pad = np.zeros((T8 - a.shape[0],) + a.shape[1:], a.dtype)
+            return np.concatenate([a, pad])
+
+        w_ext = np.concatenate([w, np.zeros(1, np.float32)])
+        wp = w_ext[pk.perm].reshape(pk.num_tiles, tile)
+        consts[which] = {
+            "local_src": pad_rows(pk.local_src),
+            "local_dst": pad_rows(pk.local_dst),
+            "tile_src_win": pk.tile_src_win,
+            "tile_dst_win": pk.tile_dst_win,
+            "tile_first": pk.tile_first,
+            "w": pad_rows(wp),
+        }
+    geom = BiSpmmGeom.make(window, tile, n_src, n_dst,
+                           "bf16" if compute_dtype == jnp.bfloat16
+                           else "f32")
+    return geom, consts
+
+
+def pad_bi_tables(consts, num_tiles_fwd, num_tiles_bwd):
+    """Pad both directions' tile tables to the given tile counts with
+    no-op tiles (weight 0, repeating the last real tile's window pair —
+    the accumulation run stays consecutive, so padding tiles add zeros
+    to an already-initialised output block).  Used to unify shapes
+    across shard_map devices."""
+    out = {}
+    for which, T in (("fwd", num_tiles_fwd), ("bwd", num_tiles_bwd)):
+        t = consts[which]
+        T8 = _round_up(T, 8)
+        T0 = t["tile_src_win"].shape[0]
+        if T8 < T0:
+            raise ValueError(f"cannot shrink pack {T0} -> {T8}")
+        pad_t = T8 - T0
+        rows = _round_up(T0, 8)
+        out[which] = {
+            "local_src": np.concatenate(
+                [t["local_src"],
+                 np.zeros((T8 - rows, t["local_src"].shape[1]),
+                          t["local_src"].dtype)])
+            if T8 > rows else t["local_src"],
+            "local_dst": np.concatenate(
+                [t["local_dst"],
+                 np.zeros((T8 - rows, t["local_dst"].shape[1]),
+                          t["local_dst"].dtype)])
+            if T8 > rows else t["local_dst"],
+            "w": np.concatenate(
+                [t["w"], np.zeros((T8 - rows, t["w"].shape[1]),
+                                  t["w"].dtype)])
+            if T8 > rows else t["w"],
+            "tile_src_win": np.concatenate(
+                [t["tile_src_win"],
+                 np.full(pad_t, t["tile_src_win"][-1],
+                         t["tile_src_win"].dtype)]),
+            "tile_dst_win": np.concatenate(
+                [t["tile_dst_win"],
+                 np.full(pad_t, t["tile_dst_win"][-1],
+                         t["tile_dst_win"].dtype)]),
+            "tile_first": np.concatenate(
+                [t["tile_first"],
+                 np.zeros(pad_t, t["tile_first"].dtype)]),
+        }
+    return out
+
+
+def _bi_apply(geom: BiSpmmGeom, t: dict, x, *, fwd: bool):
+    n_in = geom.n_src if fwd else geom.n_dst
+    n_out = geom.n_dst if fwd else geom.n_src
+    nsw = geom.nsw if fwd else geom.ndw
+    ndw = geom.ndw if fwd else geom.nsw
+    F = x.shape[1]
+    f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
+    fp = _round_up(F, f_tile)
+    x_pad = jnp.zeros((nsw * geom.window, fp), jnp.float32)
+    x_pad = x_pad.at[:n_in, :F].set(x.astype(jnp.float32))
+    out = _spmm_pallas_raw(
+        x_pad, t["w"], t["local_src"], t["local_dst"],
+        t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
+        window=geom.window, tile=geom.tile, n_dst_windows=ndw,
+        f_tile=f_tile,
+        compute_dtype=jnp.bfloat16 if geom.compute == "bf16"
+        else jnp.float32)
+    return out[:n_out, :F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm_bi_static(geom: BiSpmmGeom, consts, x):
+    """out[(n_dst, F)] = A x[(n_src, F)] with static weights; tables
+    pass through jit as arguments.  Differentiable in x."""
+    return _bi_apply(geom, consts["fwd"], x, fwd=True)
+
+
+def _spmm_bi_fwd(geom, consts, x):
+    return spmm_bi_static(geom, consts, x), consts
+
+
+def _spmm_bi_bwd(geom, consts, g):
+    dx = _bi_apply(geom, consts["bwd"], g.astype(jnp.float32),
+                   fwd=False)
+    return (jax.tree_util.tree_map(jnp.zeros_like, consts), dx)
+
+
+spmm_bi_static.defvjp(_spmm_bi_fwd, _spmm_bi_bwd)

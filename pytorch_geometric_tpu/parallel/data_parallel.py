@@ -91,6 +91,22 @@ class DataParallelTrainer:
     def init(self, params):
         return self.tx.init(params)
 
+    def grads(self, params, stacked_graph: Graph, rng):
+        """pmean'd gradients (no optimizer update) — the DP gradient
+        as the update step sees it, for parity checks and custom
+        update rules."""
+        mesh, axis, loss_fn = self.mesh, self.axis, self.loss_fn
+
+        def local_grads(params, graph, rng):
+            graph = jax.tree_util.tree_map(lambda a: a[0], graph)
+            grads = jax.grad(loss_fn)(params, graph, rng)
+            return jax.lax.pmean(grads, axis)
+
+        fn = jax.jit(jax.shard_map(
+            local_grads, mesh=mesh, in_specs=(P(), P(axis), P()),
+            out_specs=P(), check_vma=False))
+        return fn(params, stacked_graph, rng)
+
     def step(self, params, opt_state, stacked_graph: Graph, rng):
         """One synchronous DP step.  ``stacked_graph`` leading dim must
         equal the mesh axis size."""

@@ -344,6 +344,34 @@ def halo_spmm_mean(x_local, weights, tables, axis: str, halo_size: int,
     return num / jnp.maximum(den, 1e-12)
 
 
+def halo_rgcn(x_local, basis, comb, rel_weights, tables, axis: str,
+              halo_size: int, num_peers: int, root=None):
+    """Distributed relational conv over the edge partition.
+
+    out_i = sum_r sum_{j in N_r(i)} norm_e x_j W_r (+ x_i W_root),
+    with basis decomposition W_r = sum_b comb[r, b] B_b (reference
+    RGCNConv semantics, examples/rgcn.py:18-25; nn/conv/rgcn_conv.py).
+
+    TPU-native distribution: the relation enters through the per-edge
+    WEIGHT routing — ``rel_weights`` is a list of (w_local, w_remote)
+    rows per relation (norm weights masked to that relation's edges,
+    routed by :func:`partition_graph`), so each relation is one halo
+    SpMM over the shared halo exchange tables and the basis matmuls
+    stay dense MXU work.  Differentiable end-to-end.
+    """
+    R = comb.shape[0]
+    W = jnp.einsum("rb,bfc->rfc", comb, basis)       # (R, F, C)
+    out = None
+    for r in range(R):
+        h = x_local @ W[r]
+        o = halo_spmm(h, rel_weights[r], tables, axis, halo_size,
+                      num_peers)
+        out = o if out is None else out + o
+    if root is not None:
+        out = out + x_local @ root
+    return out
+
+
 def halo_gat(h_local, a_src_local, a_dst_local, tables, axis: str,
              halo_size: int, num_peers: int, heads: int,
              negative_slope: float = 0.2):
