@@ -601,9 +601,12 @@ def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
                 num_classes=2)
     params0 = model.init(jax.random.PRNGKey(0), graph, et, norm,
                          fused_ops=fused_ops)
-    # bf16 first moment: the Adam elementwise passes over the 11.3M
-    # embed-layer params profiled at 0.89 ms/epoch-step (HBM-bound)
-    tx = optax.adam(0.01, mu_dtype=jnp.bfloat16)
+    # bf16 BOTH moments (utils/optim.py): the Adam elementwise passes
+    # over the 11.3M embed-layer params profiled at 0.89 ms/epoch-step
+    # (HBM-bound); optax has no nu_dtype, adam_compact stores mu AND nu
+    # bf16 (~40% less optimizer traffic, trajectory parity tested)
+    from pytorch_geometric_tpu.utils.optim import adam_compact
+    tx = adam_compact(0.01)
     opt0 = tx.init(params0)
 
     def epoch_step(carry, _):
@@ -649,6 +652,120 @@ def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
                  "kernel": "packed_rgcn"})
 
 
+def bench_pruning_pipeline(epochs: int = 100,
+                           fine_tune_epochs: int = 100,
+                           min_acc: float = 0.6):
+    """The research pipeline end-to-end on the chip (VERDICT round 3,
+    item 8): Cora GAT pre-train -> SVD width-prune -> rebuild ->
+    fine-tune with periodic spectral weight correction — the reference
+    TrainingNet flow (ConvexPruning.py:443-576), exercising the fused
+    packed-GAT routing on TPU."""
+    import shutil
+    import tempfile
+
+    from pytorch_geometric_tpu.research.driver import training_net
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        t0 = time.perf_counter()
+        res = training_net(
+            "Cora", "GAT", epochs=epochs,
+            fine_tune_epochs=fine_tune_epochs, monte_size=1,
+            results_dir=tmp, ckpt_dir=tmp)
+        secs = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    best = float(res[0]["finetune_best"])
+    assert best > min_acc, f"pipeline fine-tune acc too low: {best}"
+    return emit("cora_pruning_pipeline_wallclock", secs, None, {
+        "pretrain_best": round(float(res[0]["pretrain_best"]), 4),
+        "finetune_best": round(best, 4),
+        "widths": res[0]["widths"],
+        "pruned_widths": res[0]["new_widths"],
+        "epochs": epochs, "fine_tune_epochs": fine_tune_epochs,
+        "note": "pre-train + SVD prune + rebuild + fine-tune with "
+        "spectral weight correction (reference "
+        "ConvexPruning.py:443-576); no reference wall-clock exists "
+        "for this pipeline"})
+
+
+def bench_reddit_sage_sampled(batch_size: int = 512,
+                              max_batches: int = 20):
+    """Neighbor-sampled Reddit SAGE (VERDICT round 3, item 9): the
+    reference-analog inductive config (examples/ppi.py:11-16 /
+    BASELINE north star).  Measures the C++ sampler throughput and the
+    sampled-epoch wall-clock from examples/reddit_sage.py, with a
+    loss-decrease gate."""
+    import optax
+
+    from examples.reddit_sage import SAGE
+    from pytorch_geometric_tpu.data.neighbor_loader import (
+        NeighborSampler)
+    from pytorch_geometric_tpu.datasets import Reddit
+
+    ds = Reddit("datasets_cache")
+    data = ds[0]
+    train_nodes = np.flatnonzero(data.train_mask)
+    loader = NeighborSampler(
+        data.edge_index[0], data.edge_index[1], data.num_nodes,
+        sizes=[10, 10], node_features=data.x, labels=data.y,
+        batch_size=batch_size, seed_nodes=train_nodes, seed=0)
+
+    # sampler-only throughput (host pipeline, no device work)
+    t0 = time.perf_counter()
+    n_sampled = 0
+    for i, g in enumerate(loader):
+        if i >= max_batches:
+            break
+        n_sampled += int(g.num_nodes)
+    sampler_s = time.perf_counter() - t0
+    sampler_nodes_per_s = n_sampled / max(sampler_s, 1e-9)
+
+    model = SAGE(hidden=128, num_classes=int(data.y.max()) + 1)
+    g0 = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(0), g0, g0.x)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, graph):
+        def loss_fn(p):
+            logits = model.apply(p, graph, graph.x)
+            logp = jax.nn.log_softmax(logits)
+            y = graph.y.astype(jnp.int32)
+            oh = (y[:, None] == jnp.arange(logp.shape[1])[None, :])
+            nll = -jnp.sum(logp * oh.astype(logp.dtype), axis=1)
+            m = graph.extras["seed_mask"].astype(jnp.float32)
+            return jnp.sum(nll * m) / jnp.maximum(m.sum(), 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    # warm up the compile on the first bucket shape, then time a full
+    # sampled epoch (host sampling + device steps overlap naturally)
+    params, opt, l0 = train_step(params, opt, g0)
+    float(l0)
+    losses = []
+    t0 = time.perf_counter()
+    for i, graph in enumerate(loader):
+        if i >= max_batches:
+            break
+        params, opt, loss = train_step(params, opt, graph)
+        losses.append(loss)
+    losses = [float(l) for l in losses]
+    secs = time.perf_counter() - t0
+    assert losses[-1] < losses[0], \
+        f"sampled SAGE loss did not decrease: {losses[:3]}...{losses[-3:]}"
+    return emit("reddit_sage_sampled_epoch", secs, None, {
+        "batches": len(losses), "batch_size": batch_size,
+        "sampler_nodes_per_s": round(sampler_nodes_per_s, 0),
+        "loss_first": round(losses[0], 4),
+        "loss_last": round(losses[-1], 4),
+        "fanout": [10, 10],
+        "n": int(data.num_nodes), "kernel": "C++ neighbor sampler + "
+        "padded static subgraphs"})
+
+
 def run_scale_suite():
     """Reddit-scale rows (bench_scale.py) — the bandwidth-bound regime."""
     from bench_scale import run_scale_suite as _run
@@ -670,6 +787,8 @@ def run_headline_suite(epochs: int = 200, fullgraph: bool = True):
             jobs.append((bench_citation_gcn_fullgraph, (ds, epochs)))
             jobs.append((bench_citation_gat_fullgraph, (ds, epochs)))
         jobs.append((bench_rgcn_fullgraph, (epochs,)))
+    jobs.append((bench_pruning_pipeline, ()))
+    jobs.append((bench_reddit_sage_sampled, ()))
     records = []
     for fn, args in jobs:
         try:

@@ -293,6 +293,124 @@ def bench_reddit_spmm(bench, f=128, K=5):
     return [rec1, rec2, rec3]
 
 
+V5E_HBM_PEAK = 819e9  # bytes/s (v5e spec)
+
+
+def bench_spmm_hbm_fraction(bench, f=128, K=5):
+    """The literal north-star metric (BASELINE.md: 'SpMM >= 80% of HBM
+    roofline'): achieved bytes/s of the Reddit SpMM program divided by
+    the chip's HBM peak.  Bytes = everything the program must stream
+    from/to HBM at least once per call: the consts pytree (dense block
+    tables + packed sparse tables + weights), x, and the output —
+    a LOWER bound on true traffic (per-block re-reads of x windows and
+    the segment-sum intermediate are not counted), so the fraction is
+    conservative."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(bench.n, f)).astype(np.float32))
+    fn, consts = bench.fn_gcn, bench.consts_gcn
+
+    consts_bytes = sum(
+        np.prod(c.shape) * c.dtype.itemsize
+        for c in jax.tree_util.tree_leaves(consts))
+    io_bytes = consts_bytes + x.nbytes + bench.n * f * 4
+
+    @jax.jit
+    def run(consts, x):
+        def step(acc, i):
+            return acc + jnp.sum(fn(consts, x * (1.0 + 1e-9 * i))), None
+        out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.float32))
+        return out
+
+    secs, _ = time_program(run, consts, x, iters=2)
+    t = secs / K
+    frac = io_bytes / t / V5E_HBM_PEAK
+    rec = {"metric": "spmm_hbm_fraction",
+           "value": round(frac, 4), "unit": "fraction",
+           "vs_baseline": None,
+           "detail": {
+               "target": ">= 0.8 (north star, BASELINE.md)",
+               "achieved_GBps": round(io_bytes / t / 1e9, 1),
+               "hbm_peak_GBps": round(V5E_HBM_PEAK / 1e9, 0),
+               "consts_GB": round(consts_bytes / 1e9, 2),
+               "ms": round(t * 1e3, 2), "f": f,
+               "note": "bytes counted once per array (consts + x + "
+               "out): a lower bound on streamed traffic"}}
+    print(json.dumps(rec), flush=True)
+    return [rec]
+
+
+def bench_adversarial_spmm(n=REDDIT_N, e=20_000_000, f=128, K=5):
+    """Adversarial low-clustering row (round-3 verdict weak #1): the
+    community generator flattered the BSR path (90% of edges in
+    40%-dense blocks).  This graph has power-law out-degrees, ~10%
+    'intra' locality, and dense_edge_frac ~ 0 — every edge takes the
+    packed one-hot sparse path, the claim a per-edge kernel must
+    defend against the in-program random-row-access ceiling."""
+    from pytorch_geometric_tpu.ops.block_spmm import BlockSpmm
+
+    rng = np.random.default_rng(7)
+    # power-law senders (Zipf-ish over a permuted id space), uniform
+    # receivers: no exploitable block density in either orientation
+    ranks = rng.zipf(1.5, size=e).astype(np.int64) % n
+    perm = rng.permutation(n)
+    senders = perm[ranks]
+    receivers = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+
+    t0 = time.perf_counter()
+    op = BlockSpmm(senders, receivers, n, w, window=1024,
+                   dense_threshold=1024, sparse_tile=256)
+    fn, consts = op.bind()
+    consts = jax.tree_util.tree_map(jax.device_put, consts)
+    jax.block_until_ready(consts)
+    pack_s = time.perf_counter() - t0
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+
+    @jax.jit
+    def run(consts, x):
+        def step(acc, i):
+            return acc + jnp.sum(fn(consts, x * (1.0 + 1e-9 * i))), None
+        out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.float32))
+        return out
+
+    secs, _ = time_program(run, consts, x, iters=2)
+    t = secs / K
+    ns_edge = t / e * 1e9
+
+    # in-program random-row ceiling at the same row width
+    e_probe = 8_000_000
+    idx = jnp.asarray(rng.integers(0, n, e_probe), jnp.int32)
+
+    @jax.jit
+    def gather(idx, x):
+        def step(acc, i):
+            return acc + jnp.sum(jnp.take(x, (idx + i) % n,
+                                          axis=0)), None
+        out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.int32))
+        return out
+
+    secs2, _ = time_program(gather, idx, x, iters=2)
+    ns_row = secs2 / K / e_probe * 1e9
+    frac = ns_row / ns_edge
+    rec = {"metric": "adversarial_spmm_vs_random_access",
+           "value": round(frac, 4), "unit": "fraction",
+           "vs_baseline": None,
+           "detail": {
+               "target": ">= 0.8 of the random-access ceiling on a "
+               "graph with no dense blocks",
+               "ns_per_edge": round(ns_edge, 3),
+               "ceiling_ns_per_row": round(ns_row, 3),
+               "dense_edge_frac": round(op.dense_edge_frac, 4),
+               "sparse_inflation": round(op.flop_inflation, 2),
+               "e": e, "f": f, "pack_s": round(pack_s, 1),
+               "graph": "zipf(1.5) senders, uniform receivers"}}
+    print(json.dumps(rec), flush=True)
+    return [rec]
+
+
 def bench_halo_1dev():
     """The 1-device TPU anchor for the halo scaling curve (the virtual
     CPU mesh provides the relative curve; this is the absolute
@@ -324,6 +442,8 @@ def run_scale_suite(e=REDDIT_E, epochs=3):
     for job, args in ((bench_reddit_layer, (bench, "gcn", epochs)),
                       (bench_reddit_layer, (bench, "sage", epochs)),
                       (bench_reddit_spmm, (bench,)),
+                      (bench_spmm_hbm_fraction, (bench,)),
+                      (bench_adversarial_spmm, ()),
                       (bench_halo_1dev, ())):
         try:
             out = job(*args)
