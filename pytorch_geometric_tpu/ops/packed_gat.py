@@ -79,7 +79,7 @@ def _head_expand(H, C):
 def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, lsrc_ref, ldst_ref, eid_ref,
                 cols_ref, *rest, H, C, rate, slope, tile, window,
-                stream=False):
+                stream=False, out_t=False):
     if stream:
         g1s_ref, gds_ref, out_ref = rest
     else:
@@ -114,11 +114,27 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     w_wide = jax.lax.dot(w.astype(jnp.bfloat16), _head_expand(H, C),
                          preferred_element_type=jnp.float32)
     payload = jnp.concatenate([m_e * w_wide, expv], axis=1)
-    # scatter by receiver = the gather one-hot contracted on its tile
-    # axis (no separate (window, tile) one-hot build)
-    contrib = jax.lax.dot_general(
-        gd, payload.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if out_t:
+        # TRANSPOSED accumulator: the (window, HC+H<=128) out block
+        # pads its minor dim to 128 lanes (460 KB of VMEM RMW per tile
+        # at window=896 — 16x the real data at conv2's HC+H=4); the
+        # (P8, window) orientation is lane-compact.  Same contraction,
+        # operands swapped (the dd-compact lesson below).
+        P8 = _round_up(H * C + H, 8)
+        if P8 > H * C + H:
+            payload = jnp.concatenate(
+                [payload,
+                 jnp.zeros((tile, P8 - H * C - H), payload.dtype)],
+            axis=1)
+        contrib = jax.lax.dot_general(
+            payload.astype(jnp.bfloat16), gd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (P8, window)
+    else:
+        # scatter by receiver = the gather one-hot contracted on its
+        # tile axis (no separate (window, tile) one-hot build)
+        contrib = jax.lax.dot_general(
+            gd, payload.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -266,7 +282,7 @@ class PackedFlashGat:
                  num_nodes=None, negative_slope: float = 0.2,
                  window: int = 1024, tile: int = 512,
                  interpret: bool = None, onehot: str = "build",
-                 merge_dd: bool = None):
+                 merge_dd: bool = None, out_t: bool = True):
         """``onehot``: 'build' regenerates the (tile, window) one-hots
         in-kernel (no HBM cost); 'stream_int8' / 'stream_bf16'
         precompute them once on device and DMA them per tile — the
@@ -285,6 +301,7 @@ class PackedFlashGat:
         assert onehot in ("build", "stream_int8", "stream_bf16")
         self.onehot = onehot
         self._merge_dd = merge_dd
+        self.out_t = bool(out_t) and window % 128 == 0
         # dst-major pack (fwd + dd backward): scatter side = receivers
         self.fwd_pack = pack_windows(senders, receivers, self.n,
                                      window=window, tile=tile)
@@ -325,7 +342,7 @@ class PackedFlashGat:
         self._cache = {}
 
     def _pallas(self, pk, kernel, n_out_cols, H, HC, with_g, out_on,
-                extra_full_out=None, dd_compact=True):
+                extra_full_out=None, dd_compact=True, out_t=False):
         """Build a pallas_call.  Scalar-prefetch order: (gw, dw, first,
         seed) where gw = sender-window ids (gathers s|h), dw =
         receiver-window ids (gathers d and grads); output block follows
@@ -355,9 +372,17 @@ class PackedFlashGat:
         if self.onehot != "build":
             in_specs += [pl.BlockSpec((tile, W),
                                       lambda t, *_: (t, 0))] * 2
-        out_specs = pl.BlockSpec((W, n_out_cols), out_idx)
-        out_shape = jax.ShapeDtypeStruct((ndw * W, n_out_cols),
-                                         jnp.float32)
+        if out_t:
+            out_idx_t = ((lambda t, gw, dw, f, s: (0, gw[t]))
+                         if out_on == "gw"
+                         else (lambda t, gw, dw, f, s: (0, dw[t])))
+            out_specs = pl.BlockSpec((n_out_cols, W), out_idx_t)
+            out_shape = jax.ShapeDtypeStruct((n_out_cols, ndw * W),
+                                             jnp.float32)
+        else:
+            out_specs = pl.BlockSpec((W, n_out_cols), out_idx)
+            out_shape = jax.ShapeDtypeStruct((ndw * W, n_out_cols),
+                                             jnp.float32)
         if extra_full_out is not None:
             if dd_compact:
                 # per-tile compact TRANSPOSED (H, W) blocks, reduced by
@@ -398,9 +423,13 @@ class PackedFlashGat:
         stream = self.onehot != "build"
         kw = dict(H=H, C=C, rate=rate, slope=self.slope, tile=self.tile,
                   window=W, stream=stream)
+        out_t = self.out_t
+        P8 = _round_up(HC + H, 8)
         fwd_call = self._pallas(
-            self.fwd_pack, functools.partial(_fwd_kernel, **kw),
-            HC + H, H, HC, with_g=False, out_on="dw")
+            self.fwd_pack,
+            functools.partial(_fwd_kernel, out_t=out_t, **kw),
+            P8 if out_t else HC + H, H, HC, with_g=False, out_on="dw",
+            out_t=out_t)
         # dd is only (npad, H): when it fits VMEM comfortably, emit it
         # from the src-pack backward kernel (dynamic-slice accumulation
         # at receiver-window offsets) and skip the dst-pack pass
@@ -468,6 +497,11 @@ class PackedFlashGat:
                            dv_f["first"], seed_i,
                            sh, dp, m, dv_f["lsend"], dv_f["lrecv"],
                            dv_f["eid"], cols, *blk(dv_f))
+            if out_t:
+                # lane-compact (P8, npad) kernel output -> one XLA
+                # transpose back to the (n, HC+H) caller orientation
+                acc = acc[:HC + H, :n].T
+                return acc, (sh, dp, m, seed_i)
             return acc[:n], (sh, dp, m, seed_i)
 
         def _raw_bwd(res, g_acc):

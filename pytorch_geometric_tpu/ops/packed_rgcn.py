@@ -41,28 +41,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _expand_mats(B, C):
+def _expand_mats(B, C, out_t=False):
     """Static one-hot layout matrices so per-basis broadcast/reduce run
     on the MXU instead of B unrolled 12.5%-lane VPU ops:
 
     rep  (B, B*C):   rep[b, b*C + c] = 1     (ae -> ae per column)
-    tilec (C, B*C):  tilec[c, b*C + c] = 1   (ge -> ge per basis)
+    tilec (Cs, B*C): tilec[c, b*C + c] = 1   (ge -> ge per basis)
     sumb (B*C, C):   rep^T pattern           (reduce over bases)
     sumc (B*C, B):   tilec^T pattern         (reduce over channels)
+
+    ``out_t=True`` pads tilec's channel rows to a multiple of 8 (zero
+    rows beyond C) so the transposed (C8, window) accumulator block has
+    a legal sublane count.
     """
     bc = B * C
+    Cs = _round_up(C, 8) if out_t else C
     b_of = jax.lax.broadcasted_iota(jnp.int32, (B, bc), 1) // C
     rep = (jax.lax.broadcasted_iota(jnp.int32, (B, bc), 0)
            == b_of).astype(jnp.bfloat16)
-    c_of = jax.lax.broadcasted_iota(jnp.int32, (C, bc), 1) % C
-    tilec = (jax.lax.broadcasted_iota(jnp.int32, (C, bc), 0)
+    c_of = jax.lax.broadcasted_iota(jnp.int32, (Cs, bc), 1) % C
+    tilec = (jax.lax.broadcasted_iota(jnp.int32, (Cs, bc), 0)
              == c_of).astype(jnp.bfloat16)
     return rep, tilec
 
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref,
                 xb_ref, att_ref, lsrc_ref, ldst_ref, rel_ref, w_ref,
-                cols_ref, *rest, B, C, Rp, tile, window, stream=False):
+                cols_ref, *rest, B, C, Rp, tile, window, stream=False,
+                out_t=False):
     if stream:
         g1s_ref, gds_ref, out_ref = rest
     else:
@@ -81,7 +87,7 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
         gd = edge_onehot(ldst, cols_ref, tile, window)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
     grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
-    rep, tilec = _expand_mats(B, C)
+    rep, tilec = _expand_mats(B, C, out_t=out_t)
 
     xbe = jax.lax.dot(g1, xb_ref[:].astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)  # (tile, B*C)
@@ -93,10 +99,21 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
         rep, preferred_element_type=jnp.float32)           # (tile, B*C)
     prod = (ae_wide * xbe) * w[:, None]
     msg = jax.lax.dot(prod.astype(jnp.bfloat16), tilec.T,
-                      preferred_element_type=jnp.float32)  # (tile, C)
-    contrib = jax.lax.dot_general(
-        gd, msg.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (window, C)
+                      preferred_element_type=jnp.float32)  # (tile, Cs)
+    if out_t:
+        # TRANSPOSED accumulator: the (window, C<=128) out block pads
+        # its minor dim to 128 lanes (768x128 f32 = 393 KB of VMEM
+        # read-modify-write per tile — rivals the gather dot); the
+        # (C8, window) orientation is lane-compact (49 KB at C=16).
+        # Same contraction, operands swapped — free in-kernel (the
+        # GAT dd-compact lesson, ops/packed_gat.py round 3).
+        contrib = jax.lax.dot_general(
+            msg.astype(jnp.bfloat16), gd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (C8, window)
+    else:
+        contrib = jax.lax.dot_general(
+            gd, msg.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (window, C)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -187,7 +204,7 @@ class PackedRgcnSpmm:
                  num_relations: int, num_nodes: int, weights,
                  num_src_rows: int = None, window: int = 1024,
                  tile: int = 256, interpret: bool = None,
-                 onehot: str = "build"):
+                 onehot: str = "build", out_t: bool = True):
         s = np.asarray(senders, dtype=np.int64)
         r = np.asarray(receivers, dtype=np.int64)
         et = np.asarray(edge_type, dtype=np.int64)
@@ -239,6 +256,8 @@ class PackedRgcnSpmm:
                      "bwd": slot_arrays(self.bwd_pack, True)}
         assert onehot in ("build", "stream_int8", "stream_bf16")
         self.onehot = onehot
+        # transposed accumulator needs a 128-multiple lane dim
+        self.out_t = bool(out_t) and window % 128 == 0
         self._interpret = (jax.default_backend() != "tpu"
                            if interpret is None else interpret)
         self._cache = {}
@@ -250,6 +269,8 @@ class PackedRgcnSpmm:
         npad = nw * W
         n, ns = self.num_nodes, self.num_src_rows
         stream = self.onehot != "build"
+        out_t = self.out_t
+        C8 = _round_up(C, 8)
         kw = dict(B=B, C=C, Rp=Rp, tile=tile, window=W, stream=stream)
         cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
         BC = B * C
@@ -279,11 +300,20 @@ class PackedRgcnSpmm:
                 kernel, grid_spec=grid_spec, out_shape=out_shapes,
                 interpret=self._interpret, compiler_params=cp)
 
+        if out_t:
+            fwd_out_spec = pl.BlockSpec(
+                (C8, W), lambda t, gw, dw, f: (0, dw[t]))
+            fwd_out_shape = jax.ShapeDtypeStruct((C8, npad),
+                                                 jnp.float32)
+        else:
+            fwd_out_spec = pl.BlockSpec(
+                (W, C), lambda t, gw, dw, f: (dw[t], 0))
+            fwd_out_shape = jax.ShapeDtypeStruct((npad, C),
+                                                 jnp.float32)
         fwd_call = build_call(
-            self.fwd_pack, functools.partial(_fwd_kernel, **kw),
-            False,
-            pl.BlockSpec((W, C), lambda t, gw, dw, f: (dw[t], 0)),
-            jax.ShapeDtypeStruct((npad, C), jnp.float32))
+            self.fwd_pack,
+            functools.partial(_fwd_kernel, out_t=out_t, **kw),
+            False, fwd_out_spec, fwd_out_shape)
         bwd_call = build_call(
             self.bwd_pack, functools.partial(_bwd_kernel, **kw),
             True,
@@ -327,6 +357,11 @@ class PackedRgcnSpmm:
                            dv_f["first"], xp, ap, dv_f["lsend"],
                            dv_f["lrecv"], dv_f["rel"], dv_f["w"],
                            cols, *blk(dv_f))
+            if out_t:
+                # lane-compact (C8, npad) kernel output; the consumer-
+                # facing (n, C) orientation is one XLA transpose of a
+                # ~MB-scale array (vs ~0.7 us/tile of block RMW saved)
+                return out[:C, :n].T, (xp, ap)
             return out[:n], (xp, ap)
 
         R = self.R

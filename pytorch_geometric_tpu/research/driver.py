@@ -606,6 +606,86 @@ def training_net(dataset: str = "Cora", model_name: str = "GCN",
     return results
 
 
+def training_net_partitioned(dataset: str = "Cora",
+                             model_name: str = "GCN",
+                             num_devices: int = 1, epochs: int = 100,
+                             lr: float = 0.01, seed: int = 0,
+                             results_dir: str = "Results"):
+    """Edge-partitioned (graph-parallel) citation training through the
+    public distributed nn API (parallel/api.py GraphPartition +
+    parallel/models.py Dist*) — the scale-out path for graphs larger
+    than one chip.  The reference has only DataParallel
+    (ConvexPruning.py:530); this is the TPU-native analog (SURVEY §2d
+    edge-partition mapping), exposed via the driver's ``--partition``
+    flag."""
+    import optax
+
+    from pytorch_geometric_tpu.parallel.api import GraphPartition
+    from pytorch_geometric_tpu.parallel.models import (
+        DistGAT,
+        DistGCN,
+        DistSAGE,
+    )
+
+    ds, graph = load_citation_dataset(dataset)
+    C = ds.num_classes
+    emask = np.asarray(graph.real_edge_mask())
+    s = np.asarray(graph.senders)[emask]
+    r = np.asarray(graph.receivers)[emask]
+    keep = s != r                  # GraphPartition appends self loops
+    N = graph.num_nodes
+    part = GraphPartition(s[keep], r[keep], N, num_devices)
+    models = {
+        "GCN": lambda: DistGCN(hidden_channels=16, num_classes=C),
+        "SAGE": lambda: DistSAGE(hidden_channels=16, num_classes=C),
+        "GAT": lambda: DistGAT(num_classes=C),
+    }
+    if model_name not in models:
+        raise ValueError(
+            f"--partition supports GCN/SAGE/GAT, got {model_name}")
+    model = models[model_name]()
+    has_rng = model_name == "GCN"   # dropout layers
+    x_sh = part.shard_nodes(np.asarray(graph.x))
+    y_sh = part.shard_nodes(np.asarray(graph.y))
+    m_sh = part.shard_nodes(
+        np.asarray(graph.train_mask).astype(np.float32))
+    params = model_init = part.init_model(
+        model, x_sh, jax.random.PRNGKey(seed), has_rng=has_rng)
+    del model_init
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    def loss_fn(logits, y_l, m_l):
+        logp = jax.nn.log_softmax(logits)
+        oh = (y_l[:, None] == jnp.arange(C)[None, :])
+        nll = -jnp.sum(logp * oh.astype(logp.dtype), axis=1)
+        return jnp.sum(nll * m_l), jnp.sum(m_l)
+
+    step = part.make_train_step(model, tx, loss_fn, has_rng=has_rng)
+    losses = []
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(epochs):
+        key, sub = jax.random.split(key)
+        params, opt, loss = step(params, opt, x_sh, y_sh, m_sh, sub)
+        losses.append(float(loss))
+    logits = part.unshard_nodes(part.apply_model(model, params, x_sh))
+    pred = np.argmax(logits, axis=1)
+    y = np.asarray(graph.y)
+
+    def acc(mask):
+        m = np.asarray(mask).astype(bool)
+        return float((pred[m] == y[m]).mean()) if m.any() else 0.0
+
+    result = {
+        "dataset": dataset, "model": model_name,
+        "num_devices": num_devices, "epochs": epochs,
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "val_acc": acc(graph.val_mask),
+        "test_acc": acc(graph.test_mask),
+    }
+    return result
+
+
 def main(argv=None):
     """CLI mirroring the reference's flags (ConvexPruning.py:580-611)."""
     p = argparse.ArgumentParser(description="Convex pruning pipeline")
@@ -631,7 +711,19 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", "-r", action="store_true")
     p.add_argument("--savepath", default="Results")
+    p.add_argument("--partition", type=int, default=0,
+                   help="train edge-partitioned (graph-parallel) over "
+                        "this many mesh devices through the "
+                        "distributed nn API (GraphPartition + "
+                        "DistGCN/DistSAGE/DistGAT); 0 = off")
     args = p.parse_args(argv)
+    if args.partition:
+        res = training_net_partitioned(
+            dataset=args.dataset, model_name=args.modelName,
+            num_devices=args.partition, epochs=args.epochs,
+            lr=args.lr, seed=args.seed, results_dir=args.savepath)
+        print(res)
+        return
     if args.dataset.lower() == "ppi":
         res = training_net_ppi(
             model_name=args.modelName, num_layers=args.num_layers,

@@ -222,3 +222,16 @@ def test_dist_sage_training_converges():
         params, opt, loss = step(params, opt, x_sh, y_sh, m_sh, key)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < P_DEV,
+                    reason="needs virtual mesh")
+def test_driver_partition_flag():
+    """research driver --partition: end-to-end distributed citation
+    training through the public API; loss decreases."""
+    from pytorch_geometric_tpu.research.driver import (
+        training_net_partitioned)
+
+    r = training_net_partitioned("Cora", "GCN", P_DEV, epochs=8)
+    assert r["loss_last"] < r["loss_first"]
+    assert 0.0 <= r["test_acc"] <= 1.0

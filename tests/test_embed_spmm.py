@@ -165,3 +165,34 @@ def test_packed_rgcn_streamed_onehot_matches_build(rng):
         for a, b in zip(gs, gref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-6)
+
+
+def test_packed_rgcn_out_orientations_match(rng):
+    """out_t=True (lane-compact transposed accumulator) == out_t=False
+    (row-major (window, C) blocks) — same kernel math, different
+    output block orientation."""
+    from pytorch_geometric_tpu.ops.packed_rgcn import PackedRgcnSpmm
+
+    g, et = _graph(rng, n=90, e=400, R=5)
+    norm = rgcn_norm(g, et, 5)
+    emask = np.asarray(g.real_edge_mask())
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    w = np.asarray(norm) * emask
+    B, C = 3, 4
+    xB = jnp.asarray(rng.normal(size=(g.num_nodes, B * C))
+                     .astype(np.float32))
+    att = jnp.asarray(rng.normal(size=(5, B)).astype(np.float32))
+    kw = dict(window=128, tile=128)
+    op_t = PackedRgcnSpmm(s, r, np.asarray(et), 5, g.num_nodes, w,
+                          out_t=True, **kw)
+    op_n = PackedRgcnSpmm(s, r, np.asarray(et), 5, g.num_nodes, w,
+                          out_t=False, **kw)
+    a = op_t(xB, att)
+    b = op_n(xB, att)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    ga = jax.grad(lambda x_: jnp.sum(op_t(x_, att) ** 2))(xB)
+    gb = jax.grad(lambda x_: jnp.sum(op_n(x_, att) ** 2))(xB)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-4)
