@@ -67,11 +67,11 @@ def run_suite_subprocess(script: str, timeout_s: float, label: str):
 def main():
     records = run_suite_subprocess(
         "bench_common.py",
-        float(os.environ.get("BENCH_HEADLINE_TIMEOUT", "3600")),
+        float(os.environ.get("BENCH_HEADLINE_TIMEOUT", "5400")),
         "headline_suite")
     records += run_suite_subprocess(
         "bench_scale.py",
-        float(os.environ.get("BENCH_SCALE_TIMEOUT", "2700")),
+        float(os.environ.get("BENCH_SCALE_TIMEOUT", "3300")),
         "scale_suite")
     closure = [r["vs_baseline"] for r in records
                if r.get("vs_baseline") and "fullgraph" not in r["metric"]

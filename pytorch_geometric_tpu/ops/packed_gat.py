@@ -149,7 +149,7 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
                 sh_ref, d_ref, m_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
                 cols_ref, *rest, H, C, rate, slope, tile,
                 window, side, merge_dd=False, dd_compact=True,
-                stream=False):
+                stream=False, out_t=False):
     """Shared backward body over a pack.
 
     side='dst' (dst-major pack): scatter by ldst -> dd (window, H).
@@ -222,9 +222,22 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     else:
         payload = dz
     scat = g1 if side == "src" else gd
-    contrib = jax.lax.dot_general(
-        scat, payload.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if out_t:
+        # lane-compact transposed accumulator (see _fwd_kernel)
+        pc = payload.shape[1]
+        P8 = _round_up(pc, 8)
+        if P8 > pc:
+            payload = jnp.concatenate(
+                [payload, jnp.zeros((tile, P8 - pc), payload.dtype)],
+                axis=1)
+        contrib = jax.lax.dot_general(
+            payload.astype(jnp.bfloat16), scat,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (P8, window)
+    else:
+        contrib = jax.lax.dot_general(
+            scat, payload.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -442,24 +455,31 @@ class PackedFlashGat:
         # block now needs window % 128 == 0; odd windows fall back to
         # the dynamic-slice VMEM accumulator.
         dd_compact = W % 128 == 0
+        P8b = _round_up(H + HC, 8)
+        H8 = _round_up(H, 8)
         if merge_dd:
             bwd_dst_call = None
             bwd_src_call = self._pallas(
                 self.bwd_pack,
                 functools.partial(_bwd_kernel, side="src",
                                   merge_dd=True, dd_compact=dd_compact,
-                                  **kw),
-                H + HC, H, HC, with_g=True, out_on="gw",
-                extra_full_out=H, dd_compact=dd_compact)
+                                  out_t=out_t, **kw),
+                P8b if out_t else H + HC, H, HC, with_g=True,
+                out_on="gw", extra_full_out=H, dd_compact=dd_compact,
+                out_t=out_t)
         else:
             bwd_dst_call = self._pallas(
                 self.fwd_pack,
-                functools.partial(_bwd_kernel, side="dst", **kw),
-                H, H, HC, with_g=True, out_on="dw")
+                functools.partial(_bwd_kernel, side="dst",
+                                  out_t=out_t, **kw),
+                H8 if out_t else H, H, HC, with_g=True, out_on="dw",
+                out_t=out_t)
             bwd_src_call = self._pallas(
                 self.bwd_pack,
-                functools.partial(_bwd_kernel, side="src", **kw),
-                H + HC, H, HC, with_g=True, out_on="gw")
+                functools.partial(_bwd_kernel, side="src",
+                                  out_t=out_t, **kw),
+                P8b if out_t else H + HC, H, HC, with_g=True,
+                out_on="gw", out_t=out_t)
         dv_f, dv_b = self._dev["fwd"], self._dev["bwd"]
 
         def pad_rows(x):
@@ -512,6 +532,8 @@ class PackedFlashGat:
                     dv_b["send_win"], dv_b["recv_win"], dv_b["first"],
                     seed_i, sh, dp, m, gp, dv_b["lsend"],
                     dv_b["lrecv"], dv_b["eid"], cols, *blk(dv_b))
+                if out_t:
+                    dsdh = dsdh[:H + HC].T         # (npad, H+HC)
                 if dd_compact:
                     # dd_tiles is (H, T*W) — compact minor dim (a
                     # (T*W, H) orientation is 128-lane padded, ~280 MB
@@ -538,6 +560,9 @@ class PackedFlashGat:
                                     sh, dp, m, gp, dv_b["lsend"],
                                     dv_b["lrecv"], dv_b["eid"], cols,
                                     *blk(dv_b))
+                if out_t:
+                    dd = dd[:H].T                  # (npad, H)
+                    dsdh = dsdh[:H + HC].T
             return (dd[:n], dsdh[:n, :H], dsdh[:n, H:],
                     jnp.zeros((), jnp.float32))
 

@@ -127,7 +127,7 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
 def _bwd_kernel(gw_ref, dw_ref, first_ref,
                 xb_ref, att_ref, g_ref, lsend_ref, lrecv_ref, rel_ref,
                 w_ref, cols_ref, *rest, B, C, Rp, tile, window,
-                stream=False):
+                stream=False, out_t=False):
     """Runs over the SRC-major pack: gw = sender windows (gather xB,
     scatter dxB), dw = receiver windows (gather g)."""
     if stream:
@@ -168,9 +168,22 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref,
 
     # scatter by sender = the gather one-hot contracted on its
     # tile axis (no second (tile, window) one-hot build)
-    contrib_x = jax.lax.dot_general(
-        gs, dxbe.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (window, BC)
+    if out_t:
+        # lane-compact transposed accumulator (see _fwd_kernel): at
+        # conv2's BC=60 the (window, BC) block pads 60 -> 128 lanes
+        bc = B * C
+        BC8 = _round_up(bc, 8)
+        dx = dxbe
+        if BC8 > bc:
+            dx = jnp.concatenate(
+                [dx, jnp.zeros((tile, BC8 - bc), dx.dtype)], axis=1)
+        contrib_x = jax.lax.dot_general(
+            dx.astype(jnp.bfloat16), gs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (BC8, window)
+    else:
+        contrib_x = jax.lax.dot_general(
+            gs, dxbe.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (window, BC)
     # relation scatter: transposed-contract the relation one-hot
     contrib_a = jax.lax.dot_general(
         grel, dae.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
@@ -314,12 +327,22 @@ class PackedRgcnSpmm:
             self.fwd_pack,
             functools.partial(_fwd_kernel, out_t=out_t, **kw),
             False, fwd_out_spec, fwd_out_shape)
+        BC8 = _round_up(BC, 8)
+        if out_t:
+            dxb_spec = pl.BlockSpec((BC8, W),
+                                    lambda t, gw, dw, f: (0, gw[t]))
+            dxb_shape = jax.ShapeDtypeStruct((BC8, npad), jnp.float32)
+        else:
+            dxb_spec = pl.BlockSpec((W, BC),
+                                    lambda t, gw, dw, f: (gw[t], 0))
+            dxb_shape = jax.ShapeDtypeStruct((npad, BC), jnp.float32)
         bwd_call = build_call(
-            self.bwd_pack, functools.partial(_bwd_kernel, **kw),
+            self.bwd_pack,
+            functools.partial(_bwd_kernel, out_t=out_t, **kw),
             True,
-            [pl.BlockSpec((W, BC), lambda t, gw, dw, f: (gw[t], 0)),
+            [dxb_spec,
              pl.BlockSpec((Rp, B), lambda t, gw, dw, f: (0, 0))],
-            [jax.ShapeDtypeStruct((npad, BC), jnp.float32),
+            [dxb_shape,
              jax.ShapeDtypeStruct((Rp, B), jnp.float32)])
         dv_f, dv_b = self._dev["fwd"], self._dev["bwd"]
         if stream:
@@ -373,6 +396,9 @@ class PackedRgcnSpmm:
                                  dv_b["first"], xp, ap, gp,
                                  dv_b["lsend"], dv_b["lrecv"],
                                  dv_b["rel"], dv_b["w"], cols, *blk(dv_b))
+            if out_t:
+                dxb = dxb[:B * C, :ns].T
+                return dxb, datt[:R]
             return dxb[:ns], datt[:R]
 
         f.defvjp(_fwd, _bwd)
