@@ -53,7 +53,7 @@ def spmm(senders, receivers, x, num_nodes, weights=None, reduce="sum",
 # Pallas windowed one-hot SpMM
 # ---------------------------------------------------------------------------
 
-def _spmm_kernel(window, tile, compute_dtype,
+def _spmm_kernel(window, tile, compute_dtype, out_t,
                  src_w_ref, dst_w_ref, first_ref,   # scalar prefetch
                  x_ref, lsrc_ref, ldst_ref, w_ref,  # tensor inputs
                  cols_ref, out_ref):
@@ -84,11 +84,20 @@ def _spmm_kernel(window, tile, compute_dtype,
     gathered = jax.lax.dot(gat, x_ref[:].astype(compute_dtype),
                            preferred_element_type=jnp.float32)
     gathered = (gathered * w[:, None]).astype(compute_dtype)
-    # scatter by receiver: contract the (tile, window) dst one-hot on its
-    # tile axis -> (window, f_tile)
-    contrib = jax.lax.dot_general(
-        scat, gathered, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if out_t:
+        # lane-compact transposed accumulator for narrow F (see
+        # packed_rgcn._fwd_kernel): the (window, f_tile) block pads
+        # its minor dim to 128 lanes; (out_t<=64 rows, window) is
+        # compact.  ``out_t`` = real (8-padded) column count.
+        contrib = jax.lax.dot_general(
+            gathered[:, :out_t], scat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (out_t, window)
+    else:
+        # scatter by receiver: contract the (tile, window) dst one-hot
+        # on its tile axis -> (window, f_tile)
+        contrib = jax.lax.dot_general(
+            scat, gathered, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -102,11 +111,28 @@ def _spmm_kernel(window, tile, compute_dtype,
 def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
                      tile_src_win, tile_dst_win, tile_first,
                      *, window, tile, n_dst_windows, f_tile,
-                     compute_dtype=jnp.float32):
-    """Invoke the Pallas kernel.  x_pad: (n_src_windows*window, Fp)."""
+                     compute_dtype=jnp.float32, out_rows=None):
+    """Invoke the Pallas kernel.  x_pad: (n_src_windows*window, Fp).
+
+    ``out_rows``: emit the lane-compact TRANSPOSED (out_rows, N)
+    output instead of (N, f_tile) — for narrow F (requires one f
+    block, i.e. fp == f_tile, and window % 128 == 0)."""
     T = tile_src_win.shape[0]  # real tile count (w_packed rows padded to 8)
     fp = x_pad.shape[1]
     n_ft = fp // f_tile
+    if out_rows is not None:
+        assert n_ft == 1 and window % 128 == 0
+        out_specs = pl.BlockSpec(
+            (out_rows, window),
+            lambda j, t, srcw, dstw, first: (0, dstw[t]))
+        out_shape = jax.ShapeDtypeStruct(
+            (out_rows, n_dst_windows * window), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec(
+            (window, f_tile),
+            lambda j, t, srcw, dstw, first: (dstw[t], j))
+        out_shape = jax.ShapeDtypeStruct(
+            (n_dst_windows * window, fp), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_ft, T),
@@ -118,18 +144,15 @@ def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
             pl.BlockSpec((8, window), lambda j, t, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (window, f_tile),
-            lambda j, t, srcw, dstw, first: (dstw[t], j)),
+        out_specs=out_specs,
     )
     kernel = functools.partial(_spmm_kernel, window, tile,
-                               compute_dtype)
+                               compute_dtype, out_rows)
     flops = 2 * 2 * T * tile * window * fp
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_dst_windows * window, fp), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=T * (tile * 12 + window * fp * 8),
@@ -226,15 +249,23 @@ class SpmmOperator:
         N, F = self.num_nodes, x.shape[1]
         f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
         fp = _round_up(F, f_tile)
-        x_pad = jnp.zeros((pk.num_src_windows * pk.window, fp),
-                          jnp.float32)
-        x_pad = x_pad.at[:N, :F].set(x.astype(jnp.float32))
+        # bf16 slab: halves the per-tile window DMA when the caller
+        # opted into bf16 compute (the MXU consumed bf16 anyway)
+        xdt = jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 \
+            else jnp.float32
+        x_pad = jnp.zeros((pk.num_src_windows * pk.window, fp), xdt)
+        x_pad = x_pad.at[:N, :F].set(x.astype(xdt))
+        # lane-compact transposed out for narrow F (out_t lesson)
+        out_rows = _round_up(F, 8) if (
+            F <= 64 and pk.window % 128 == 0 and fp == f_tile) else None
         out = _spmm_pallas_raw(
             x_pad, w_packed, dv["local_src"], dv["local_dst"],
             dv["tile_src_win"], dv["tile_dst_win"], dv["tile_first"],
             window=pk.window, tile=pk.tile,
             n_dst_windows=pk.num_dst_windows, f_tile=f_tile,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, out_rows=out_rows)
+        if out_rows is not None:
+            return out[:F, :N].T
         return out[:N, :F]
 
     def _run(self, which, weights, x):
@@ -368,15 +399,18 @@ def _apply_dir(geom: SpmmGeom, t: dict, x, *, fwd: bool):
     N, F = geom.num_nodes, x.shape[1]
     f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
     fp = _round_up(F, f_tile)
-    x_pad = jnp.zeros((n_src * geom.window, fp), jnp.float32)
-    x_pad = x_pad.at[:N, :F].set(x.astype(jnp.float32))
+    cdt = jnp.bfloat16 if geom.compute == "bf16" else jnp.float32
+    x_pad = jnp.zeros((n_src * geom.window, fp), cdt)
+    x_pad = x_pad.at[:N, :F].set(x.astype(cdt))
+    out_rows = _round_up(F, 8) if (
+        F <= 64 and geom.window % 128 == 0 and fp == f_tile) else None
     out = _spmm_pallas_raw(
         x_pad, t["w"], t["local_src"], t["local_dst"],
         t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
         window=geom.window, tile=geom.tile, n_dst_windows=n_dst,
-        f_tile=f_tile,
-        compute_dtype=jnp.bfloat16 if geom.compute == "bf16"
-        else jnp.float32)
+        f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows)
+    if out_rows is not None:
+        return out[:F, :N].T
     return out[:N, :F]
 
 
@@ -525,15 +559,18 @@ def _bi_apply(geom: BiSpmmGeom, t: dict, x, *, fwd: bool):
     F = x.shape[1]
     f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
     fp = _round_up(F, f_tile)
-    x_pad = jnp.zeros((nsw * geom.window, fp), jnp.float32)
-    x_pad = x_pad.at[:n_in, :F].set(x.astype(jnp.float32))
+    cdt = jnp.bfloat16 if geom.compute == "bf16" else jnp.float32
+    x_pad = jnp.zeros((nsw * geom.window, fp), cdt)
+    x_pad = x_pad.at[:n_in, :F].set(x.astype(cdt))
+    out_rows = _round_up(F, 8) if (
+        F <= 64 and geom.window % 128 == 0 and fp == f_tile) else None
     out = _spmm_pallas_raw(
         x_pad, t["w"], t["local_src"], t["local_dst"],
         t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
         window=geom.window, tile=geom.tile, n_dst_windows=ndw,
-        f_tile=f_tile,
-        compute_dtype=jnp.bfloat16 if geom.compute == "bf16"
-        else jnp.float32)
+        f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows)
+    if out_rows is not None:
+        return out[:F, :n_out].T
     return out[:n_out, :F]
 
 
