@@ -380,10 +380,22 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
                    transform=NormalizeFeatures())
     graph = from_data(reorder_graph(ds[0]))
     if backend is None:
-        backend = "dense" if graph.num_nodes <= 8192 else "hybrid"
+        backend = "dense" if graph.num_nodes <= 8192 else "packed"
     aggregate_fn, norm_dense = None, None
     if backend == "dense":
         norm_dense = gcn_norm_dense(graph, dtype=jnp.bfloat16)
+    elif backend == "packed":
+        # one fused Pallas kernel per aggregation pass (bf16 slabs,
+        # lane-compact transposed out at F<=64): measured 0.35 ms per
+        # 113k-edge PubMed pass at (1024, 256) — the dense (N, N) path
+        # streams 777 MB/pass at this N and loses 4x
+        from pytorch_geometric_tpu.ops.spmm import SpmmOperator
+        full_norm = gcn_norm(graph)
+        op = SpmmOperator(np.asarray(full_norm.senders),
+                          np.asarray(full_norm.receivers),
+                          graph.num_nodes, window=1024, tile=256,
+                          compute_dtype=jnp.bfloat16)
+        aggregate_fn = op.bind(full_norm.weights)
     elif backend == "hybrid":
         from pytorch_geometric_tpu.ops.hybrid_spmm import HybridSpmm
         full_norm = gcn_norm(graph)
@@ -411,12 +423,15 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
     opt0 = tx.init(params0)
 
     def epoch_step(carry, _):
-        params, opt, key = carry
+        # the dense normalised adjacency rides the CARRY, not a
+        # closure: a 777 MB (N, N) bf16 constant serialized into the
+        # program body is rejected by the remote compiler (HTTP 413)
+        params, opt, key, nd = carry
         key, sub = jax.random.split(key)
 
         def loss_fn(p):
             logits = model.apply(p, graph, graph.x, train=True,
-                                 norm_dense=norm_dense,
+                                 norm_dense=nd,
                                  aggregate_fn=aggregate_fn,
                                  rngs={"dropout": sub})
             # gather the ~60-120 train rows BEFORE the log-softmax/xent
@@ -431,19 +446,21 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx.update(grads, opt, params)
-        return (optax.apply_updates(params, updates), opt, key), loss
+        return (optax.apply_updates(params, updates), opt, key, nd), \
+            loss
 
     @jax.jit
-    def run(params, opt, key):
+    def run(params, opt, key, nd):
         def one(carry, i):
             acc, p_keep, o_keep = carry
-            (p, o, _), losses = jax.lax.scan(
-                epoch_step, (params, opt, jax.random.fold_in(key, i)),
+            (p, o, _, _), losses = jax.lax.scan(
+                epoch_step,
+                (params, opt, jax.random.fold_in(key, i), nd),
                 None, length=epochs)
             return (acc + losses[-1], p, o), None
         (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
                                       jnp.arange(K))
-        logits = model.apply(p, graph, graph.x, norm_dense=norm_dense,
+        logits = model.apply(p, graph, graph.x, norm_dense=nd,
                              aggregate_fn=aggregate_fn)
         ev = {
             "val_acc": masked_accuracy(logits, graph.y, graph.val_mask),
@@ -452,7 +469,12 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
         }
         return acc, ev
 
-    secs, (_, ev) = time_program(run, params0, opt0, key)
+    nd_arg = norm_dense if norm_dense is not None else \
+        jnp.zeros((0, 0), jnp.bfloat16)
+    if norm_dense is None:
+        # XLA path variants read aggregate_fn; keep nd out of the carry
+        nd_arg = None
+    secs, (_, ev) = time_program(run, params0, opt0, key, nd_arg)
     per = secs / K
     val, test = float(ev["val_acc"]), float(ev["test_acc"])
     assert val > min_val_acc and test > min_test_acc, \
