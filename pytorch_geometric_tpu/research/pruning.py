@@ -58,6 +58,10 @@ def retain_network_size(params, con_coeff: float,
             arr = arr[0]
         if arr.ndim != 2 or name_filter not in name:
             continue
-        d = jnp.linalg.svd(arr, compute_uv=False)
-        out.append(find_cutoff_point(np.asarray(d), con_coeff))
+        # host numpy SVD: this is a once-per-phase O(n^3) op on a
+        # ~1.4k matrix, and XLA's SVD routine crashes the remote v5e
+        # worker process (measured round 4 — the whole pipeline died
+        # fetching its result).  Fetch the params and decompose on CPU.
+        d = np.linalg.svd(np.asarray(arr), compute_uv=False)
+        out.append(find_cutoff_point(d, con_coeff))
     return out

@@ -50,12 +50,24 @@ def weights_to_adjacency(weights: np.ndarray, start_node: int = 0,
 
 def compute_fiedler_vector(G: nx.Graph):
     """(algebraic connectivity, Fiedler vector) of the normalised
-    Laplacian — eigh on device (replaces the reference's cupy eigh)."""
-    lap = nx.normalized_laplacian_matrix(G, weight="weight").toarray()
-    w, v = jnp.linalg.eigh(jnp.asarray(lap, dtype=jnp.float64)
-                           if lap.dtype == np.float64
-                           else jnp.asarray(lap))
-    return np.real(np.asarray(w[1])), np.real(np.asarray(v[:, 1]))
+    Laplacian (replaces the reference's cupy eigh,
+    SpectralAnalysis.py:208-217).  Host numpy eigh: this runs between
+    training phases on small weight-graph Laplacians, and XLA's dense
+    eigendecomposition crashes the remote v5e worker (same failure as
+    the SVD in research/pruning.py, measured round 4)."""
+    # |w| magnitudes: the reference feeds SIGNED weights into the
+    # normalised Laplacian (SpectralAnalysis.py:208-217), whose
+    # negative degrees make sqrt(d) NaN — undefined under cupy and
+    # numpy alike.  Connectivity is about coupling magnitude, so the
+    # spectral step runs on |A| (signed weights still drive the
+    # link-prediction scores downstream).
+    A = np.abs(nx.to_numpy_array(G, weight="weight"))
+    d = A.sum(axis=1)
+    dis = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-30)), 0.0)
+    lap = np.eye(A.shape[0]) - (dis[:, None] * A) * dis[None, :]
+    lap = (lap + lap.T) / 2.0
+    w, v = np.linalg.eigh(lap)
+    return np.real(w[1]), np.real(v[:, 1])
 
 
 def fiedler_vector_cluster(G: nx.Graph) -> List[nx.Graph]:
