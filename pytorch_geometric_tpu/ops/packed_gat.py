@@ -77,7 +77,7 @@ def _head_expand(H, C):
 
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
-                sh_ref, d_ref, m_ref, lsrc_ref, ldst_ref, eid_ref,
+                sh_ref, d_ref, lsrc_ref, ldst_ref, eid_ref,
                 cols_ref, *rest, H, C, rate, slope, tile, window,
                 stream=False, out_t=False):
     if stream:
@@ -102,10 +102,13 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)   # (tile, H+HC)
     a_s, m_e = sh[:, :H], sh[:, H:]
-    a_d = jax.lax.dot(gd, d_ref[:].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)  # (tile, H)
+    # d carries [a_d | m_row]: the PER-RECEIVER softmax shift
+    # m_i = leaky(max_j a_s_j + a_d_i) rides the same dst gather
+    dgat = jax.lax.dot(gd, d_ref[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)  # (tile, 2H)
+    a_d, m_row = dgat[:, :H], dgat[:, H:]
     z = a_s + a_d
-    z = jnp.where(z > 0, z, slope * z) - m_ref[0:1, :]
+    z = jnp.where(z > 0, z, slope * z) - m_row
     expv = jnp.exp(z) * em                                 # (tile, H)
     w = expv
     if rate > 0:
@@ -146,7 +149,7 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
 
 def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
-                sh_ref, d_ref, m_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
+                sh_ref, d_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
                 cols_ref, *rest, H, C, rate, slope, tile,
                 window, side, merge_dd=False, dd_compact=True,
                 stream=False, out_t=False):
@@ -186,13 +189,14 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     a_s, m_e = sh[:, :H], sh[:, H:]
     dg = jax.lax.dot(gd, jnp.concatenate(
         [d_ref[:], g_ref[:]], axis=1).astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32)    # (tile, H + (HC+H))
+        preferred_element_type=jnp.float32)    # (tile, 2H + (HC+H))
     a_d = dg[:, :H]
-    gnum = dg[:, H:H + H * C]
-    gden = dg[:, H + H * C:]
+    m_row = dg[:, H:2 * H]
+    gnum = dg[:, 2 * H:2 * H + H * C]
+    gden = dg[:, 2 * H + H * C:]
 
     zpre = a_s + a_d
-    z = jnp.where(zpre > 0, zpre, slope * zpre) - m_ref[0:1, :]
+    z = jnp.where(zpre > 0, zpre, slope * zpre) - m_row
     expv = jnp.exp(z) * em                                 # (tile, H)
 
     expand = _head_expand(H, C)                # (H, HC) one-hot
@@ -369,9 +373,8 @@ class PackedFlashGat:
         in_specs = [
             pl.BlockSpec((W, H + HC),
                          lambda t, gw, dw, f, s: (gw[t], 0)),   # s|h
-            pl.BlockSpec((W, H),
-                         lambda t, gw, dw, f, s: (dw[t], 0)),   # d
-            pl.BlockSpec((1, H), lambda t, gw, dw, f, s: (0, 0)),
+            pl.BlockSpec((W, 2 * H),
+                         lambda t, gw, dw, f, s: (dw[t], 0)),   # d|m
         ]
         if with_g:
             in_specs.append(pl.BlockSpec(
@@ -508,29 +511,35 @@ class PackedFlashGat:
 
         def _raw_fwd(d, s, h2d, seed):
             seed_i = jnp.reshape(seed.astype(jnp.int32), (1,))
-            m = jax.lax.stop_gradient(
-                jax.nn.leaky_relu(jnp.max(d, axis=0) + jnp.max(s, axis=0),
-                                  self.slope)).reshape(1, H)
+            # PER-RECEIVER softmax shift m_i = leaky(max_j a_s_j +
+            # a_d_i): bounds every incoming logit of node i (leaky is
+            # monotone), and unlike the old GLOBAL shift it keeps
+            # exp(z - m_i) alive per node — with wide heads the global
+            # shift underflowed entire nodes' denominators to 0
+            # (measured: the width-1084 pipeline GAT collapsed to 0.18
+            # accuracy / NaN training).  Shift carries no gradient.
+            m_row = jax.lax.stop_gradient(jax.nn.leaky_relu(
+                jnp.max(s, axis=0)[None, :] + d, self.slope))
             sh = pad_rows(jnp.concatenate([s, h2d], axis=1))
-            dp = pad_rows(d)
+            dp = pad_rows(jnp.concatenate([d, m_row], axis=1))
             acc = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], seed_i,
-                           sh, dp, m, dv_f["lsend"], dv_f["lrecv"],
+                           sh, dp, dv_f["lsend"], dv_f["lrecv"],
                            dv_f["eid"], cols, *blk(dv_f))
             if out_t:
                 # lane-compact (P8, npad) kernel output -> one XLA
                 # transpose back to the (n, HC+H) caller orientation
                 acc = acc[:HC + H, :n].T
-                return acc, (sh, dp, m, seed_i)
-            return acc[:n], (sh, dp, m, seed_i)
+                return acc, (sh, dp, seed_i)
+            return acc[:n], (sh, dp, seed_i)
 
         def _raw_bwd(res, g_acc):
-            sh, dp, m, seed_i = res
+            sh, dp, seed_i = res
             gp = jnp.pad(g_acc, ((0, npad - n), (0, 0)))   # (npad, HC+H)
             if merge_dd:
                 dsdh, dd_tiles = bwd_src_call(
                     dv_b["send_win"], dv_b["recv_win"], dv_b["first"],
-                    seed_i, sh, dp, m, gp, dv_b["lsend"],
+                    seed_i, sh, dp, gp, dv_b["lsend"],
                     dv_b["lrecv"], dv_b["eid"], cols, *blk(dv_b))
                 if out_t:
                     dsdh = dsdh[:H + HC].T         # (npad, H+HC)
@@ -552,12 +561,12 @@ class PackedFlashGat:
             else:
                 dd = bwd_dst_call(dv_f["send_win"], dv_f["recv_win"],
                                   dv_f["first"], seed_i,
-                                  sh, dp, m, gp, dv_f["lsend"],
+                                  sh, dp, gp, dv_f["lsend"],
                                   dv_f["lrecv"], dv_f["eid"], cols,
                                   *blk(dv_f))
                 dsdh = bwd_src_call(dv_b["send_win"], dv_b["recv_win"],
                                     dv_b["first"], seed_i,
-                                    sh, dp, m, gp, dv_b["lsend"],
+                                    sh, dp, gp, dv_b["lsend"],
                                     dv_b["lrecv"], dv_b["eid"], cols,
                                     *blk(dv_b))
                 if out_t:
@@ -575,13 +584,22 @@ class PackedFlashGat:
         def call(d, s, h2d, seed):
             acc = raw(d, s, h2d, seed)
             num, den = acc[:, :HC], acc[:, HC:]
-            den = jnp.maximum(den, 1e-20)
+            # double-where: with the GLOBAL softmax shift, a node whose
+            # every incoming logit sits > ~87 below the global max has
+            # den underflow to exactly 0; a bare 1/max(den, eps)
+            # backward then scales cotangents by 1/eps and training
+            # NaNs (measured: width-1084 pipeline GAT diverged at
+            # epoch 8).  Where den underflowed the output is 0 and the
+            # gradient must flow through a FINITE denominator branch.
+            safe = den > 1e-12
+            den_f = jnp.where(safe, den, 1.0)
             # head-broadcast via one tiny MXU matmul, then a full-lane
             # 2-D divide: the per-head slice loop this replaces ran 8
             # narrow 8/128-lane passes (~1 ms/step of XLA glue), and a
             # reshape-to-3D divide materialised a 374 us/step copy in
             # its transpose
-            return num / (den @ hexp)
+            safe_w = safe.astype(num.dtype) @ hexp
+            return jnp.where(safe_w > 0.5, num / (den_f @ hexp), 0.0)
 
         return {"call": call, "raw": raw}
 

@@ -395,18 +395,21 @@ def halo_gat(h_local, a_src_local, a_dst_local, tables, axis: str,
     S = h_local.shape[0]
     H = heads
     C = h_local.shape[1] // H
-    # global per-head shift (stop-grad BEFORE the collective —
-    # pmax has no differentiation rule, and a softmax shift carries no
-    # gradient anyway)
-    m = (jax.lax.pmax(jax.lax.stop_gradient(
-            jnp.max(a_src_local, axis=0)), axis)
-         + jax.lax.pmax(jax.lax.stop_gradient(
-            jnp.max(a_dst_local, axis=0)), axis))
-    m = jax.nn.leaky_relu(m, negative_slope)           # (H,)
+    # PER-RECEIVER per-head shift m_i = leaky(pmax(max_j a_src_j) +
+    # a_dst_i): bounds every incoming logit of node i (leaky is
+    # monotone) while keeping each node's exp alive — a GLOBAL shift
+    # underflows entire nodes' denominators at wide head dims
+    # (ops/packed_gat.py, measured).  One scalar pmax per head is the
+    # only collective; the shift carries no gradient.
+    max_s = jax.lax.pmax(jax.lax.stop_gradient(
+        jnp.max(a_src_local, axis=0)), axis)           # (H,)
+    m_row = jax.lax.stop_gradient(jax.nn.leaky_relu(
+        max_s[None, :] + a_dst_local, negative_slope))  # (S, H)
 
     def edge_weights(a_s_rows, dst_idx, mask):
         z = a_s_rows + jnp.take(a_dst_local, dst_idx, axis=0)   # (E, H)
-        z = jax.nn.leaky_relu(z, negative_slope) - m[None, :]
+        z = jax.nn.leaky_relu(z, negative_slope) \
+            - jnp.take(m_row, dst_idx, axis=0)
         return jnp.exp(z) * mask[:, None]
 
     def accumulate(h_rows, a_s_rows, dst_idx, mask):
@@ -431,5 +434,12 @@ def halo_gat(h_local, a_src_local, a_dst_local, tables, axis: str,
                               tables["rem_dst"],
                               tables["rem_mask"].astype(h_local.dtype))
     num = num + num_r
-    den = jnp.maximum(den + den_r, 1e-20)               # (S, H)
-    return (num.reshape(S, H, C) / den[:, :, None]).reshape(S, H * C)
+    den = den + den_r                                   # (S, H)
+    # double-where: the global softmax shift can underflow an entire
+    # node's denominator to 0; gradients must flow through a finite
+    # branch (see ops/packed_gat.py call — same hazard, measured)
+    safe = den > 1e-12
+    den_f = jnp.where(safe, den, 1.0)
+    out = jnp.where(safe[:, :, None],
+                    num.reshape(S, H, C) / den_f[:, :, None], 0.0)
+    return out.reshape(S, H * C)
