@@ -584,22 +584,19 @@ class PackedFlashGat:
         def call(d, s, h2d, seed):
             acc = raw(d, s, h2d, seed)
             num, den = acc[:, :HC], acc[:, HC:]
-            # double-where: with the GLOBAL softmax shift, a node whose
-            # every incoming logit sits > ~87 below the global max has
-            # den underflow to exactly 0; a bare 1/max(den, eps)
-            # backward then scales cotangents by 1/eps and training
-            # NaNs (measured: width-1084 pipeline GAT diverged at
-            # epoch 8).  Where den underflowed the output is 0 and the
-            # gradient must flow through a FINITE denominator branch.
-            safe = den > 1e-12
-            den_f = jnp.where(safe, den, 1.0)
+            # With the PER-RECEIVER shift (see _raw_fwd), den_i >=
+            # exp(-slope * (max_j a_s_j - a_s_i)) via the self loop —
+            # underflow would need an a_s spread > ~435, i.e. a model
+            # that has already diverged, so a plain clamp suffices.
+            # (The old GLOBAL shift underflowed entire nodes at wide
+            # head dims; its 1/eps backward NaN'd training.)
+            den = jnp.maximum(den, 1e-20)
             # head-broadcast via one tiny MXU matmul, then a full-lane
             # 2-D divide: the per-head slice loop this replaces ran 8
             # narrow 8/128-lane passes (~1 ms/step of XLA glue), and a
             # reshape-to-3D divide materialised a 374 us/step copy in
             # its transpose
-            safe_w = safe.astype(num.dtype) @ hexp
-            return jnp.where(safe_w > 0.5, num / (den_f @ hexp), 0.0)
+            return num / (den @ hexp)
 
         return {"call": call, "raw": raw}
 

@@ -434,12 +434,6 @@ def halo_gat(h_local, a_src_local, a_dst_local, tables, axis: str,
                               tables["rem_dst"],
                               tables["rem_mask"].astype(h_local.dtype))
     num = num + num_r
-    den = den + den_r                                   # (S, H)
-    # double-where: the global softmax shift can underflow an entire
-    # node's denominator to 0; gradients must flow through a finite
-    # branch (see ops/packed_gat.py call — same hazard, measured)
-    safe = den > 1e-12
-    den_f = jnp.where(safe, den, 1.0)
-    out = jnp.where(safe[:, :, None],
-                    num.reshape(S, H, C) / den_f[:, :, None], 0.0)
-    return out.reshape(S, H * C)
+    # per-receiver shift keeps den alive (see above); plain clamp
+    den = jnp.maximum(den + den_r, 1e-20)               # (S, H)
+    return (num.reshape(S, H, C) / den[:, :, None]).reshape(S, H * C)

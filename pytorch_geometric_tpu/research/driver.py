@@ -140,12 +140,26 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
     if prev < epochs:
         spans.append((epochs - prev, False))
 
+    # one compiled scan length per phase: distinct span lengths each
+    # recompile run_span (~1-3 min each on the remote backend — the
+    # 100+100-epoch pipeline spent most of its 21 min compiling), so
+    # every span runs as repeated CHUNKS of the gcd of all span lengths
+    import math
+    chunk = 0
+    for length, _ in spans:
+        chunk = math.gcd(chunk, length)
+    chunk = max(chunk, 1)
+
     train_conv: List[float] = []
     test_conv: List[float] = []
     best = 0.0
     for length, correct_after in spans:
-        (params, opt_state, key), losses = run_span(
-            params, opt_state, key, length)
+        losses = []
+        for _ in range(length // chunk):
+            (params, opt_state, key), ls = run_span(
+                params, opt_state, key, chunk)
+            losses.append(np.asarray(ls))
+        losses = np.concatenate(losses) if losses else np.zeros(0)
         train_conv.extend(np.asarray(losses).tolist())
         tr, va, te = (float(v) for v in evaluate(params))
         test_conv.append(te)
