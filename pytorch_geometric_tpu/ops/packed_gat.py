@@ -14,10 +14,12 @@ operator burn ~2000x the VPU work of the edge count):
   a_src/h rows via the src-window one-hot, a_dst/grad rows via the
   dst-window one-hot, contributions scattered back with the transposed
   one-hot — ~8x cheaper per edge than XLA's ~20 ns/row take;
-- softmax uses a per-head GLOBAL shift M_h = leaky(max_i d_i +
-  max_j s_j) >= every logit (leaky_relu is monotone), so exp(z - M)
-  needs no segment-max pass; numerator and denominator accumulate into
-  the same output block (consecutive dst-window revisits);
+- softmax uses a PER-RECEIVER shift m_i = leaky(max_j s_j + d_i)
+  (>= every incoming logit of node i since leaky_relu is monotone),
+  computed in-kernel from per-head maxS scalars — no segment-max pass,
+  and unlike a global shift it keeps each node's exp alive at wide
+  head dims; numerator and denominator accumulate into the same
+  output block (consecutive dst-window revisits);
 - the division happens outside the kernel in XLA (autodiffed); the
   custom VJP covers (d, s, h) -> (numerator | denominator) with two
   backward kernels — one over the dst-major pack (d-half gradients),
@@ -77,7 +79,7 @@ def _head_expand(H, C):
 
 
 def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
-                sh_ref, d_ref, lsrc_ref, ldst_ref, eid_ref,
+                sh_ref, d_ref, m_ref, lsrc_ref, ldst_ref, eid_ref,
                 cols_ref, *rest, H, C, rate, slope, tile, window,
                 stream=False, out_t=False):
     if stream:
@@ -102,13 +104,16 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     sh = jax.lax.dot(g1, sh_ref[:].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)   # (tile, H+HC)
     a_s, m_e = sh[:, :H], sh[:, H:]
-    # d carries [a_d | m_row]: the PER-RECEIVER softmax shift
-    # m_i = leaky(max_j a_s_j + a_d_i) rides the same dst gather
-    dgat = jax.lax.dot(gd, d_ref[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)  # (tile, 2H)
-    a_d, m_row = dgat[:, :H], dgat[:, H:]
+    a_d = jax.lax.dot(gd, d_ref[:].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)  # (tile, H)
+    # PER-RECEIVER softmax shift m_i = leaky(max_j a_s_j + a_d_i),
+    # computed in-kernel from the per-head maxS scalars (m_ref): keeps
+    # every node's exp alive (a GLOBAL shift underflowed entire nodes'
+    # denominators at wide head dims — measured width-1084 collapse)
     z = a_s + a_d
-    z = jnp.where(z > 0, z, slope * z) - m_row
+    z = jnp.where(z > 0, z, slope * z)
+    mz = m_ref[0:1, :] + a_d
+    z = z - jnp.where(mz > 0, mz, slope * mz)
     expv = jnp.exp(z) * em                                 # (tile, H)
     w = expv
     if rate > 0:
@@ -149,7 +154,7 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
 
 
 def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
-                sh_ref, d_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
+                sh_ref, d_ref, m_ref, g_ref, lsrc_ref, ldst_ref, eid_ref,
                 cols_ref, *rest, H, C, rate, slope, tile,
                 window, side, merge_dd=False, dd_compact=True,
                 stream=False, out_t=False):
@@ -189,14 +194,15 @@ def _bwd_kernel(gw_ref, dw_ref, first_ref, seed_ref,
     a_s, m_e = sh[:, :H], sh[:, H:]
     dg = jax.lax.dot(gd, jnp.concatenate(
         [d_ref[:], g_ref[:]], axis=1).astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32)    # (tile, 2H + (HC+H))
+        preferred_element_type=jnp.float32)    # (tile, H + (HC+H))
     a_d = dg[:, :H]
-    m_row = dg[:, H:2 * H]
-    gnum = dg[:, 2 * H:2 * H + H * C]
-    gden = dg[:, 2 * H + H * C:]
+    gnum = dg[:, H:H + H * C]
+    gden = dg[:, H + H * C:]
 
     zpre = a_s + a_d
-    z = jnp.where(zpre > 0, zpre, slope * zpre) - m_row
+    z = jnp.where(zpre > 0, zpre, slope * zpre)
+    mz = m_ref[0:1, :] + a_d
+    z = z - jnp.where(mz > 0, mz, slope * mz)
     expv = jnp.exp(z) * em                                 # (tile, H)
 
     expand = _head_expand(H, C)                # (H, HC) one-hot
@@ -373,8 +379,9 @@ class PackedFlashGat:
         in_specs = [
             pl.BlockSpec((W, H + HC),
                          lambda t, gw, dw, f, s: (gw[t], 0)),   # s|h
-            pl.BlockSpec((W, 2 * H),
-                         lambda t, gw, dw, f, s: (dw[t], 0)),   # d|m
+            pl.BlockSpec((W, H),
+                         lambda t, gw, dw, f, s: (dw[t], 0)),   # d
+            pl.BlockSpec((1, H), lambda t, gw, dw, f, s: (0, 0)),
         ]
         if with_g:
             in_specs.append(pl.BlockSpec(
@@ -511,35 +518,31 @@ class PackedFlashGat:
 
         def _raw_fwd(d, s, h2d, seed):
             seed_i = jnp.reshape(seed.astype(jnp.int32), (1,))
-            # PER-RECEIVER softmax shift m_i = leaky(max_j a_s_j +
-            # a_d_i): bounds every incoming logit of node i (leaky is
-            # monotone), and unlike the old GLOBAL shift it keeps
-            # exp(z - m_i) alive per node — with wide heads the global
-            # shift underflowed entire nodes' denominators to 0
-            # (measured: the width-1084 pipeline GAT collapsed to 0.18
-            # accuracy / NaN training).  Shift carries no gradient.
-            m_row = jax.lax.stop_gradient(jax.nn.leaky_relu(
-                jnp.max(s, axis=0)[None, :] + d, self.slope))
+            # per-head maxS scalars for the PER-RECEIVER softmax shift
+            # m_i = leaky(maxS + a_d_i), computed in-kernel (see
+            # _fwd_kernel; the shift carries no gradient)
+            m = jax.lax.stop_gradient(
+                jnp.max(s, axis=0)).reshape(1, H)
             sh = pad_rows(jnp.concatenate([s, h2d], axis=1))
-            dp = pad_rows(jnp.concatenate([d, m_row], axis=1))
+            dp = pad_rows(d)
             acc = fwd_call(dv_f["send_win"], dv_f["recv_win"],
                            dv_f["first"], seed_i,
-                           sh, dp, dv_f["lsend"], dv_f["lrecv"],
+                           sh, dp, m, dv_f["lsend"], dv_f["lrecv"],
                            dv_f["eid"], cols, *blk(dv_f))
             if out_t:
                 # lane-compact (P8, npad) kernel output -> one XLA
                 # transpose back to the (n, HC+H) caller orientation
                 acc = acc[:HC + H, :n].T
-                return acc, (sh, dp, seed_i)
-            return acc[:n], (sh, dp, seed_i)
+                return acc, (sh, dp, m, seed_i)
+            return acc[:n], (sh, dp, m, seed_i)
 
         def _raw_bwd(res, g_acc):
-            sh, dp, seed_i = res
+            sh, dp, m, seed_i = res
             gp = jnp.pad(g_acc, ((0, npad - n), (0, 0)))   # (npad, HC+H)
             if merge_dd:
                 dsdh, dd_tiles = bwd_src_call(
                     dv_b["send_win"], dv_b["recv_win"], dv_b["first"],
-                    seed_i, sh, dp, gp, dv_b["lsend"],
+                    seed_i, sh, dp, m, gp, dv_b["lsend"],
                     dv_b["lrecv"], dv_b["eid"], cols, *blk(dv_b))
                 if out_t:
                     dsdh = dsdh[:H + HC].T         # (npad, H+HC)
@@ -561,12 +564,12 @@ class PackedFlashGat:
             else:
                 dd = bwd_dst_call(dv_f["send_win"], dv_f["recv_win"],
                                   dv_f["first"], seed_i,
-                                  sh, dp, gp, dv_f["lsend"],
+                                  sh, dp, m, gp, dv_f["lsend"],
                                   dv_f["lrecv"], dv_f["eid"], cols,
                                   *blk(dv_f))
                 dsdh = bwd_src_call(dv_b["send_win"], dv_b["recv_win"],
                                     dv_b["first"], seed_i,
-                                    sh, dp, gp, dv_b["lsend"],
+                                    sh, dp, m, gp, dv_b["lsend"],
                                     dv_b["lrecv"], dv_b["eid"], cols,
                                     *blk(dv_b))
                 if out_t:

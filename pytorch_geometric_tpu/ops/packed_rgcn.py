@@ -86,18 +86,22 @@ def _fwd_kernel(gw_ref, dw_ref, first_ref,
         g1 = edge_onehot(lsrc, cols_ref, tile, window)
         gd = edge_onehot(ldst, cols_ref, tile, window)
     rcols = jax.lax.broadcasted_iota(jnp.int32, (tile, Rp), 1)
-    grel = (rel[:, None] == rcols).astype(jnp.bfloat16)
+    # fold the edge weight into the SMALL (tile, Rp) relation one-hot
+    # instead of a third (tile, B*C) VPU pass over the wide product
+    grel = jnp.where(rel[:, None] == rcols, w[:, None], 0.0) \
+        .astype(jnp.bfloat16)
     rep, tilec = _expand_mats(B, C, out_t=out_t)
 
     xbe = jax.lax.dot(g1, xb_ref[:].astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)  # (tile, B*C)
-    # ae expanded to (tile, B*C) in one fused MXU chain: grel @ att @ rep
+    # w*ae expanded to (tile, B*C) in one fused MXU chain:
+    # (w-folded grel) @ att @ rep
     ae_wide = jax.lax.dot(
         jax.lax.dot(grel, att_ref[:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32).astype(
                         jnp.bfloat16),
         rep, preferred_element_type=jnp.float32)           # (tile, B*C)
-    prod = (ae_wide * xbe) * w[:, None]
+    prod = ae_wide * xbe
     msg = jax.lax.dot(prod.astype(jnp.bfloat16), tilec.T,
                       preferred_element_type=jnp.float32)  # (tile, Cs)
     if out_t:

@@ -98,7 +98,13 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
     ``{"flash_op": PackedFlashGat(...)}`` routes GAT layers through the
     fused Pallas attention backends."""
     ak = apply_kwargs or {}
-    tx = optax.adamw(lr, weight_decay=weight_decay)
+    # global-norm clip: the randomly-contracted zoo reaches widths
+    # >1000 (ContractionLayerCoefficients), where unclipped adamw at
+    # lr=0.01 drives GAT logits past f32 exp range late in training
+    # (the reference trains the same configs; its smaller defaults
+    # masked this).  Clipping changes no stable run measurably.
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.adamw(lr, weight_decay=weight_decay))
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(seed + monte)
 
