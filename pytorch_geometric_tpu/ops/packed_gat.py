@@ -587,13 +587,16 @@ class PackedFlashGat:
         def call(d, s, h2d, seed):
             acc = raw(d, s, h2d, seed)
             num, den = acc[:, :HC], acc[:, HC:]
-            # With the PER-RECEIVER shift (see _raw_fwd), den_i >=
-            # exp(-slope * (max_j a_s_j - a_s_i)) via the self loop —
-            # underflow would need an a_s spread > ~435, i.e. a model
-            # that has already diverged, so a plain clamp suffices.
-            # (The old GLOBAL shift underflowed entire nodes at wide
-            # head dims; its 1/eps backward NaN'd training.)
-            den = jnp.maximum(den, 1e-20)
+            # Underflow guard on the (N, H) denominator ONLY: when a
+            # node's best incoming a_s sits > ~37 below maxS its den
+            # (and num, same exp factors) vanish below 1e-16 — the
+            # attention there is numerically meaningless, so the
+            # output is ~0 and the gradient must flow through a
+            # FINITE branch (1/max(den, eps) backward reached 1e20,
+            # whose global-norm square overflowed f32 and NaN'd the
+            # wide-width pipeline runs — measured).  where() zeroes
+            # the dead branch's cotangent; cost is one H-wide select.
+            den = jnp.where(den < 1e-16, 1.0, den)
             # head-broadcast via one tiny MXU matmul, then a full-lane
             # 2-D divide: the per-head slice loop this replaces ran 8
             # narrow 8/128-lane passes (~1 ms/step of XLA glue), and a

@@ -434,6 +434,8 @@ def halo_gat(h_local, a_src_local, a_dst_local, tables, axis: str,
                               tables["rem_dst"],
                               tables["rem_mask"].astype(h_local.dtype))
     num = num + num_r
-    # per-receiver shift keeps den alive (see above); plain clamp
-    den = jnp.maximum(den + den_r, 1e-20)               # (S, H)
+    den = den + den_r                                   # (S, H)
+    # underflow guard on the H-wide den only (ops/packed_gat.py call):
+    # vanished nodes output ~0 with finite gradients
+    den = jnp.where(den < 1e-16, 1.0, den)
     return (num.reshape(S, H, C) / den[:, :, None]).reshape(S, H * C)
