@@ -254,3 +254,52 @@ def test_gatconv_raw_out_layer(rng):
     manual = np.asarray(nu / jnp.repeat(de, C, axis=1)
                         + params["params"]["bias"])
     np.testing.assert_allclose(manual, out, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_gat_extreme_logits_no_nan(rng):
+    """Wide-head regression (round 4): with large logit spreads the old
+    GLOBAL softmax shift underflowed entire nodes' denominators and the
+    division backward NaN'd training.  The per-receiver shift + H-wide
+    den guard must give finite outputs and gradients at extreme logit
+    scales (exact parity is not claimable there: the kernels gather
+    logits in bf16, and softmax at |z| ~ 150 amplifies the rounding),
+    and keep full parity at moderate scales."""
+    from pytorch_geometric_tpu.ops.packed_gat import PackedFlashGat
+    from pytorch_geometric_tpu.ops.segment import (
+        segment_softmax,
+        segment_sum,
+    )
+
+    N, E, H, C = 64, 300, 2, 4
+    s = rng.integers(0, N, E)
+    r = rng.integers(0, N, E)
+    loops = np.arange(N)
+    s = np.concatenate([s, loops])
+    r = np.concatenate([r, loops])
+    op = PackedFlashGat(senders=s, receivers=r, num_nodes=N,
+                        window=64, tile=128)
+    d0 = rng.normal(size=(N, H)).astype(np.float32)
+    s0 = rng.normal(size=(N, H)).astype(np.float32)
+    h2 = jnp.asarray(rng.normal(size=(N, H * C)).astype(np.float32))
+
+    # extreme scale (a_s spread ~200 >> f32 exp range): finite only
+    d = jnp.asarray(d0 * 60)
+    sa = jnp.asarray(s0 * 60)
+    out = np.asarray(op(d, sa, h2, 0.0, rate=0.0))
+    assert np.isfinite(out).all()
+    g = jax.grad(lambda hh: jnp.sum(op(d, sa, hh, 0.0, rate=0.0)
+                                    ** 2))(h2)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # moderate scale: full parity vs the reference segment-softmax
+    d = jnp.asarray(d0 * 4)
+    sa = jnp.asarray(s0 * 4)
+    out = np.asarray(op(d, sa, h2, 0.0, rate=0.0))
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    z = jax.nn.leaky_relu(jnp.take(sa, sj, axis=0)
+                          + jnp.take(d, rj, axis=0), 0.2)
+    alpha = segment_softmax(z, rj, N)
+    msgs = jnp.take(h2.reshape(N, H, C), sj, axis=0) \
+        * alpha[:, :, None]
+    ref = np.asarray(segment_sum(msgs, rj, N).reshape(N, H * C))
+    np.testing.assert_allclose(out, ref, rtol=6e-2, atol=6e-2)
