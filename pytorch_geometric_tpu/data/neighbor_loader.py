@@ -30,7 +30,15 @@ class NeighborSampler:
     def __init__(self, senders, receivers, num_nodes: int,
                  sizes: Sequence[int], node_features=None, labels=None,
                  batch_size: int = 512, shuffle: bool = True,
-                 seed_nodes=None, seed: int = 0):
+                 seed_nodes=None, seed: int = 0,
+                 materialize_features: bool = True):
+        """``materialize_features=False`` ships INDICES only: batches
+        carry no x/y; the consumer keeps the full feature/label tables
+        device-resident and gathers rows in-jit via
+        ``extras['local_to_global']``.  The materialized path pads x to
+        the node budget (~137 MB/batch at Reddit fanout [10, 10]) and
+        re-transfers it host->device every batch — measured 3.3 s/batch
+        through the remote tunnel vs milliseconds for the index path."""
         senders = np.asarray(senders, dtype=np.int64)
         receivers = np.asarray(receivers, dtype=np.int64)
         self.num_nodes = int(num_nodes)
@@ -38,6 +46,7 @@ class NeighborSampler:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
+        self.materialize_features = bool(materialize_features)
         self.x = None if node_features is None else \
             np.asarray(node_features)
         self.y = None if labels is None else np.asarray(labels)
@@ -117,11 +126,11 @@ class NeighborSampler:
         seed_mask[: len(seeds)] = True
 
         x = None
-        if self.x is not None:
+        if self.x is not None and self.materialize_features:
             x = np.zeros((N,) + self.x.shape[1:], np.float32)
             x[:n_real] = self.x[local_ids]
         y = None
-        if self.y is not None:
+        if self.y is not None and self.materialize_features:
             y = np.zeros((N,) + self.y.shape[1:], self.y.dtype)
             y[:n_real] = self.y[local_ids]
 
