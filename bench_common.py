@@ -314,7 +314,7 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
                               flash_op=flash_op,
                               rngs={"dropout": sub})
             a = jnp.take(acc, train_idx, axis=0)      # (n_train, C+1)
-            logits = (a[:, :C] / jnp.maximum(a[:, C:], 1e-20)
+            logits = (a[:, :C] / jnp.where(a[:, C:] < 1e-16, 1.0, a[:, C:])
                       + p["params"]["conv2"]["bias"])
             return masked_softmax_xent(logits, y_train, ones_mask)
 

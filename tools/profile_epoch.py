@@ -55,7 +55,7 @@ def build_gat_pubmed(epochs):
                               flash_op=flash_op,
                               rngs={"dropout": sub})
             a = jnp.take(acc, train_idx, axis=0)
-            logits = (a[:, :C] / jnp.maximum(a[:, C:], 1e-20)
+            logits = (a[:, :C] / jnp.where(a[:, C:] < 1e-16, 1.0, a[:, C:])
                       + p["params"]["conv2"]["bias"])
             return masked_softmax_xent(logits, y_train, ones_mask)
 
