@@ -49,9 +49,41 @@ class RGCNConv(nn.Module):
     root_weight: bool = True
     use_bias: bool = True
 
+    def _shard_call(self, ctx, x):
+        """Distributed relational conv over an edge partition
+        (parallel/api.py — GraphPartition built with edge_type/
+        num_relations): per-relation mean-norm weights route through
+        the shared halo tables (parallel/partition.py halo_rgcn).
+        Dense ``x`` only (the x=None embedding mode stays
+        single-device)."""
+        from pytorch_geometric_tpu.parallel.partition import halo_rgcn
+
+        R, C = self.num_relations, self.out_channels
+        F_in = x.shape[-1]
+        if self.num_bases > 0:
+            basis = self.param("basis", glorot,
+                               (self.num_bases, F_in, C))
+            att = self.param("att", glorot, (R, self.num_bases))
+        else:
+            basis = self.param("basis", glorot, (R, F_in, C))
+            att = jnp.eye(R, dtype=x.dtype)
+        root = self.param("root", glorot, (F_in, C)) \
+            if self.root_weight else None
+        wl = ctx.consts["rgcn_wl"]              # (R, El)
+        wr = ctx.consts["rgcn_wr"]              # (R, Er)
+        rel_weights = [(wl[r], wr[r]) for r in range(R)]
+        out = halo_rgcn(x, basis, att, rel_weights,
+                        ctx.consts["tables"], ctx.axis, ctx.halo_size,
+                        ctx.num_peers, root=root)
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (C,))
+        return out
+
     @nn.compact
     def __call__(self, graph: Graph, x=None, edge_type=None, norm=None,
-                 closure=None, fused_op=None):
+                 closure=None, fused_op=None, shard_ctx=None):
+        if shard_ctx is not None:
+            return self._shard_call(shard_ctx, x)
         """``fused_op``: an :class:`~pytorch_geometric_tpu.ops.embed_spmm.
         EmbedSpmm` bound to this graph's (fused id, receiver, norm)
         structure — replaces the take+segment_sum pair with a single

@@ -72,13 +72,19 @@ class GraphPartition:
                  window: int = 1024, sparse_tile: int = 256,
                  dense_threshold: int = 1024,
                  add_self_loops: bool = True,
+                 edge_type=None, num_relations: int = 0,
                  compute_dtype=jnp.bfloat16, devices=None):
+        """``edge_type``/``num_relations``: also prepare per-relation
+        mean-norm weight routings for the distributed RGCNConv (the
+        appended self loops carry weight 0 in every relation — the
+        root weight handles self, matching RGCNConv semantics)."""
         senders = np.asarray(senders, np.int64)
         receivers = np.asarray(receivers, np.int64)
         N = int(num_nodes)
         self.num_nodes = N
         self.num_devices = int(num_devices)
         self.axis = "graph"
+        self.num_relations = int(num_relations)
         if add_self_loops:
             loop = np.arange(N, dtype=np.int64)
             s_aug = np.concatenate([senders, loop])
@@ -113,6 +119,29 @@ class GraphPartition:
             k: op.bind()[1] for k, op in self.ops.items()}
         # generic halo tables for attention (halo_gat) — stacked (P,...)
         self._consts_host["tables"] = shards.device_arrays()
+        if num_relations:
+            et = np.asarray(edge_type, np.int64)
+            # per-(relation, receiver) mean norm on the REAL edges
+            fused = receivers * num_relations + et
+            cnt = np.bincount(fused, minlength=N * num_relations)
+            inv = np.where(cnt > 0, 1.0 / np.maximum(cnt, 1), 0.0)
+            wl_all, wr_all = [], []
+            for rel in range(num_relations):
+                w_rel = np.where(et == rel, inv[fused], 0.0) \
+                    .astype(np.float32)
+                w_aug = np.concatenate(
+                    [w_rel, np.zeros(N if add_self_loops else 0,
+                                     np.float32)])
+                _, (wl_r, wr_r) = partition_graph(
+                    s_aug, r_aug, N, num_devices, edge_weights=w_aug,
+                    locality=locality)
+                wl_all.append(wl_r)
+                wr_all.append(wr_r)
+            # (P, R, E_*) so shard_map slices the device axis
+            self._consts_host["rgcn_wl"] = jnp.asarray(
+                np.stack(wl_all, axis=1))
+            self._consts_host["rgcn_wr"] = jnp.asarray(
+                np.stack(wr_all, axis=1))
         self.mesh = make_mesh((num_devices,), (self.axis,),
                               devices=(devices if devices is not None
                                        else jax.devices()[:num_devices]))

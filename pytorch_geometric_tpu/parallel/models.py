@@ -52,6 +52,29 @@ class DistSAGE(nn.Module):
             None, x, shard_ctx=ctx)
 
 
+class DistRGCN(nn.Module):
+    """2-layer relational GCN over an edge partition (mirror of
+    examples/rgcn.py's Net with dense inputs; build the GraphPartition
+    with ``edge_type=``/``num_relations=``)."""
+
+    hidden_channels: int
+    num_classes: int
+    num_relations: int
+    num_bases: int = 0
+
+    @nn.compact
+    def __call__(self, ctx, x, train: bool = False):
+        from pytorch_geometric_tpu.nn.conv.rgcn_conv import RGCNConv
+
+        x = RGCNConv(x.shape[-1], self.hidden_channels,
+                     self.num_relations, num_bases=self.num_bases,
+                     name="conv1")(None, x, shard_ctx=ctx)
+        x = nn.relu(x)
+        return RGCNConv(self.hidden_channels, self.num_classes,
+                        self.num_relations, num_bases=self.num_bases,
+                        name="conv2")(None, x, shard_ctx=ctx)
+
+
 class DistGAT(nn.Module):
     """2-layer GAT over an edge partition (mirror of examples/gat.py:
     8-head concat first layer, single-head second)."""

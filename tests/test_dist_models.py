@@ -235,3 +235,49 @@ def test_driver_partition_flag():
     r = training_net_partitioned("Cora", "GCN", P_DEV, epochs=8)
     assert r["loss_last"] < r["loss_first"]
     assert 0.0 <= r["test_acc"] <= 1.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < P_DEV,
+                    reason="needs virtual mesh")
+def test_dist_rgcn_forward_matches_reference():
+    """DistRGCN (RGCNConv + shard_ctx over per-relation halo weights)
+    == single-device per-relation mean aggregation + basis combine."""
+    from pytorch_geometric_tpu.parallel.models import DistRGCN
+
+    rng = np.random.default_rng(8)
+    N, E, R, F, C = 220, 1500, 4, 6, 3
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    et = rng.integers(0, R, len(src))
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    part = GraphPartition(src, dst, N, P_DEV, window=64,
+                          sparse_tile=128, dense_threshold=48,
+                          edge_type=et, num_relations=R)
+    model = DistRGCN(hidden_channels=5, num_classes=C,
+                     num_relations=R, num_bases=2)
+    x_sh = part.shard_nodes(x)
+    params = part.init_model(model, x_sh, jax.random.PRNGKey(4))
+    out = part.unshard_nodes(part.apply_model(model, params, x_sh))
+
+    # single-device reference: per-relation mean + basis combine
+    p = params["params"]
+    fused = dst * R + et
+    cnt = np.bincount(fused, minlength=N * R)
+    inv = np.where(cnt > 0, 1.0 / np.maximum(cnt, 1), 0.0)
+    w = inv[fused].astype(np.float32)
+
+    def layer(h, lp, C_out):
+        W = jnp.einsum("rb,bfc->rfc", lp["att"], lp["basis"])
+        out = h @ lp["root"]
+        for rel in range(R):
+            wsel = jnp.asarray(w * (et == rel))
+            out = out + segment_sum(
+                jnp.take(h @ W[rel], jnp.asarray(src), axis=0)
+                * wsel[:, None], jnp.asarray(dst), N)
+        return out + lp["bias"]
+
+    h = jax.nn.relu(layer(jnp.asarray(x), p["conv1"], 5))
+    ref = np.asarray(layer(h, p["conv2"], C))
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=6e-2)
