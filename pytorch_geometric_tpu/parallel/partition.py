@@ -355,18 +355,29 @@ def halo_rgcn(x_local, basis, comb, rel_weights, tables, axis: str,
     TPU-native distribution: the relation enters through the per-edge
     WEIGHT routing — ``rel_weights`` is a list of (w_local, w_remote)
     rows per relation (norm weights masked to that relation's edges,
-    routed by :func:`partition_graph`), so each relation is one halo
-    SpMM over the shared halo exchange tables and the basis matmuls
-    stay dense MXU work.  Differentiable end-to-end.
+    routed by :func:`partition_graph`).  The halo features are
+    exchanged ONCE (x rides the collective, not R per-relation
+    transforms — R x less ICI traffic); each relation is then a local
+    weighted aggregation of the shared buffers, and the basis combine
+    is one dense einsum AFTER aggregation (the "basis-combine after
+    aggregation" rule, SURVEY §7).  Differentiable end-to-end.
     """
     R = comb.shape[0]
+    S = x_local.shape[0]
     W = jnp.einsum("rb,bfc->rfc", comb, basis)       # (R, F, C)
-    out = None
+    flat, src = _halo_rows(x_local, tables, axis, halo_size,
+                           num_peers)
+    x_loc_rows = jnp.take(x_local, tables["loc_src_row"], axis=0)
+    x_rem_rows = jnp.take(flat, src, axis=0)
+    aggs = []
     for r in range(R):
-        h = x_local @ W[r]
-        o = halo_spmm(h, rel_weights[r], tables, axis, halo_size,
-                      num_peers)
-        out = o if out is None else out + o
+        wl, wr = rel_weights[r]
+        agg = segment_sum(x_loc_rows * wl[:, None],
+                          tables["loc_dst"], S)
+        agg = agg + segment_sum(x_rem_rows * wr[:, None],
+                                tables["rem_dst"], S)
+        aggs.append(agg)
+    out = jnp.einsum("rsf,rfc->sc", jnp.stack(aggs), W)
     if root is not None:
         out = out + x_local @ root
     return out
