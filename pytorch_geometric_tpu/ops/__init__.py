@@ -25,7 +25,12 @@ from pytorch_geometric_tpu.ops.segment import (  # noqa: F401
     segment_softmax,
     scatter,
 )
-from pytorch_geometric_tpu.ops.spmm import spmm, SpmmOperator  # noqa: F401
+from pytorch_geometric_tpu.ops.spmm import (  # noqa: F401
+    spmm,
+    SpmmOperator,
+    spmm_bi_static,
+    pack_bipartite_tables,
+)
 from pytorch_geometric_tpu.ops.sorted_spmm import (  # noqa: F401
     SortedSpmm,
     SortedSegmentSum,
@@ -42,6 +47,8 @@ __all__ = [
     "scatter",
     "spmm",
     "SpmmOperator",
+    "spmm_bi_static",
+    "pack_bipartite_tables",
     "SortedSpmm",
     "SortedSegmentSum",
     "HybridSpmm",

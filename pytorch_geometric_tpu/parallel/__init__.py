@@ -14,6 +14,21 @@ from pytorch_geometric_tpu.parallel.data_parallel import (  # noqa: F401
     shard_data_list,
     DataParallelTrainer,
 )
+from pytorch_geometric_tpu.parallel.api import (  # noqa: F401
+    GraphPartition,
+    ShardCtx,
+)
+from pytorch_geometric_tpu.parallel.fast import (  # noqa: F401
+    PartitionedSpmm,
+)
+from pytorch_geometric_tpu.parallel.models import (  # noqa: F401
+    DistGAT,
+    DistGCN,
+    DistRGCN,
+    DistSAGE,
+)
 
 __all__ = ["make_mesh", "stack_graphs", "shard_data_list",
-           "DataParallelTrainer"]
+           "DataParallelTrainer", "GraphPartition", "ShardCtx",
+           "PartitionedSpmm", "DistGCN", "DistSAGE", "DistGAT",
+           "DistRGCN"]
