@@ -736,8 +736,9 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
         data.edge_index[0], data.edge_index[1], data.num_nodes,
         sizes=[10, 10], batch_size=batch_size,
         seed_nodes=train_nodes, seed=0, materialize_features=False)
-    x_dev = jnp.asarray(np.asarray(data.x, np.float32))
-    y_dev = jnp.asarray(np.asarray(data.y, np.int32))
+    # zero sentinel row appended: padding ids gather zeros, not node 0
+    x_dev, y_dev = loader.device_tables(
+        np.asarray(data.x, np.float32), np.asarray(data.y, np.int32))
 
     # sampler-only throughput (host pipeline, no device work)
     t0 = time.perf_counter()

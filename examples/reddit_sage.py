@@ -50,8 +50,10 @@ def run(epochs: int = 1, batch_size: int = 512, seed: int = 0,
         data.edge_index[0], data.edge_index[1], data.num_nodes,
         sizes=[10, 10], batch_size=batch_size, seed_nodes=val_nodes,
         shuffle=False, materialize_features=False)
-    x_dev = jnp.asarray(np.asarray(data.x, np.float32))
-    y_dev = jnp.asarray(np.asarray(data.y, np.int32))
+    # device_tables appends a zero row at index num_nodes — the
+    # sentinel the loader's padding ids point at
+    x_dev, y_dev = loader.device_tables(
+        np.asarray(data.x, np.float32), np.asarray(data.y, np.int32))
 
     model = SAGE(hidden=128, num_classes=int(data.y.max()) + 1)
     g0 = next(iter(loader))

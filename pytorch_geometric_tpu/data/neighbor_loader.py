@@ -144,7 +144,26 @@ class NeighborSampler:
             node_mask=jnp.asarray(node_mask),
             edge_mask=jnp.asarray(edge_mask[order]),
             extras={"seed_mask": jnp.asarray(seed_mask),
+                    # padding rows point at the SENTINEL id num_nodes:
+                    # gathers through device_tables() (which appends a
+                    # zero row) read zeros, never node 0's features
+                    # (ADVICE round 4).  Gathers from an unexpanded
+                    # (num_nodes, F) table clamp to the last row —
+                    # harmless only while padded rows stay masked.
                     "local_to_global": jnp.asarray(
-                        np.concatenate([local_ids, np.zeros(
-                            N - n_real, np.int64)]).astype(np.int32))},
+                        np.concatenate([local_ids, np.full(
+                            N - n_real, self.num_nodes,
+                            np.int64)]).astype(np.int32))},
             num_graphs=1, edges_sorted=True)
+
+    def device_tables(self, *arrays):
+        """Append one zero row to each (num_nodes, ...) table so the
+        sentinel padding id ``num_nodes`` gathers zeros.  Keep the
+        returned arrays device-resident and gather batch rows in-jit
+        via ``extras['local_to_global']`` (the index-shipping path)."""
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            out.append(jnp.asarray(np.concatenate(
+                [a, np.zeros((1,) + a.shape[1:], a.dtype)])))
+        return out[0] if len(out) == 1 else tuple(out)

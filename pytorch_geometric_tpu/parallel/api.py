@@ -86,6 +86,16 @@ class GraphPartition:
         self.axis = "graph"
         self.num_relations = int(num_relations)
         if add_self_loops:
+            # remove-then-add loop semantics, matching the single-chip
+            # convs (gcn_conv/gat_conv mask pre-existing loops): a
+            # caller whose edge list already carries self loops must
+            # not get them double-counted (or a duplicate softmax slot
+            # in distributed GAT).
+            keep = senders != receivers
+            if not bool(keep.all()):
+                senders, receivers = senders[keep], receivers[keep]
+                if edge_type is not None:
+                    edge_type = np.asarray(edge_type, np.int64)[keep]
             loop = np.arange(N, dtype=np.int64)
             s_aug = np.concatenate([senders, loop])
             r_aug = np.concatenate([receivers, loop])
@@ -96,52 +106,46 @@ class GraphPartition:
         w_gcn = (dis[s_aug] * dis[r_aug]).astype(np.float32)
         w_mean = (1.0 / np.maximum(deg[r_aug], 1.0)).astype(np.float32)
 
-        shards, (wl_gcn, wr_gcn) = partition_graph(
-            s_aug, r_aug, N, num_devices, edge_weights=w_gcn,
-            locality=locality)
-        self.shards: GraphShards = shards
-        # second weighting rides the same partition: route w_mean
-        # through the identical slots (partition_graph is deterministic
-        # given the same edges)
-        _, (wl_mean, wr_mean) = partition_graph(
-            s_aug, r_aug, N, num_devices, edge_weights=w_mean,
-            locality=locality)
-
-        kw = dict(window=min(window, shards.nodes_per_shard),
-                  sparse_tile=sparse_tile,
-                  dense_threshold=dense_threshold,
-                  compute_dtype=compute_dtype)
-        self.ops = {
-            "gcn": PartitionedSpmm(shards, wl_gcn, wr_gcn, **kw),
-            "mean": PartitionedSpmm(shards, wl_mean, wr_mean, **kw),
-        }
-        self._consts_host = {
-            k: op.bind()[1] for k, op in self.ops.items()}
-        # generic halo tables for attention (halo_gat) — stacked (P,...)
-        self._consts_host["tables"] = shards.device_arrays()
+        # every weighting (gcn, mean, R per-relation means) rides ONE
+        # partition_graph call as an (E, K) stack, so all share one
+        # slot assignment by construction
+        cols = [w_gcn, w_mean]
         if num_relations:
             et = np.asarray(edge_type, np.int64)
             # per-(relation, receiver) mean norm on the REAL edges
             fused = receivers * num_relations + et
             cnt = np.bincount(fused, minlength=N * num_relations)
             inv = np.where(cnt > 0, 1.0 / np.maximum(cnt, 1), 0.0)
-            wl_all, wr_all = [], []
+            n_loops = N if add_self_loops else 0
             for rel in range(num_relations):
                 w_rel = np.where(et == rel, inv[fused], 0.0) \
                     .astype(np.float32)
-                w_aug = np.concatenate(
-                    [w_rel, np.zeros(N if add_self_loops else 0,
-                                     np.float32)])
-                _, (wl_r, wr_r) = partition_graph(
-                    s_aug, r_aug, N, num_devices, edge_weights=w_aug,
-                    locality=locality)
-                wl_all.append(wl_r)
-                wr_all.append(wr_r)
+                cols.append(np.concatenate(
+                    [w_rel, np.zeros(n_loops, np.float32)]))
+        wstack = np.stack(cols, axis=1)          # (E_aug, 2 + R)
+        shards, (wl_all, wr_all) = partition_graph(
+            s_aug, r_aug, N, num_devices, edge_weights=wstack,
+            locality=locality)
+        self.shards: GraphShards = shards
+
+        kw = dict(window=min(window, shards.nodes_per_shard),
+                  sparse_tile=sparse_tile,
+                  dense_threshold=dense_threshold,
+                  compute_dtype=compute_dtype)
+        self.ops = {
+            "gcn": PartitionedSpmm(shards, wl_all[0], wr_all[0], **kw),
+            "mean": PartitionedSpmm(shards, wl_all[1], wr_all[1], **kw),
+        }
+        self._consts_host = {
+            k: op.bind()[1] for k, op in self.ops.items()}
+        # generic halo tables for attention (halo_gat) — stacked (P,...)
+        self._consts_host["tables"] = shards.device_arrays()
+        if num_relations:
             # (P, R, E_*) so shard_map slices the device axis
             self._consts_host["rgcn_wl"] = jnp.asarray(
-                np.stack(wl_all, axis=1))
+                np.transpose(wl_all[2:], (1, 0, 2)))
             self._consts_host["rgcn_wr"] = jnp.asarray(
-                np.stack(wr_all, axis=1))
+                np.transpose(wr_all[2:], (1, 0, 2)))
         self.mesh = make_mesh((num_devices,), (self.axis,),
                               devices=(devices if devices is not None
                                        else jax.devices()[:num_devices]))

@@ -128,6 +128,11 @@ def partition_graph(senders, receivers, num_nodes: int, num_devices: int,
     Returns (shards, (w_local, w_remote)) — the caller's edge weights
     routed to their shard slots ((P, El) and (P, Er) float32, zeros on
     padding slots, so padding contributes nothing without masks).
+    ``edge_weights`` may also be an (E, K) STACK of K weight vectors;
+    then the routed arrays are (K, P, El) / (K, P, Er) and every
+    weighting shares one slot assignment by construction (so callers
+    with several weightings — GCN norm + mean + per-relation — never
+    depend on cross-call determinism).
 
     Fully vectorised: one sort over the edges, one unique over the
     remote edges — a 100k-node graph partitions in well under a second.
@@ -136,6 +141,10 @@ def partition_graph(senders, receivers, num_nodes: int, num_devices: int,
     receivers = np.asarray(receivers, dtype=np.int64)
     w = np.ones(senders.shape[0], np.float32) if edge_weights is None \
         else np.asarray(edge_weights, np.float32)
+    stacked = w.ndim == 2
+    if not stacked:
+        w = w[:, None]                      # (E, 1)
+    K = w.shape[1]
     P = num_devices
     N = int(num_nodes)
     if locality and N > P:
@@ -168,8 +177,8 @@ def partition_graph(senders, receivers, num_nodes: int, num_devices: int,
     loc_dst[lgrp, lpos] = (r[lorder] % S).astype(np.int32)
     loc_mask = np.zeros((P, El), bool)
     loc_mask[lgrp, lpos] = True
-    w_local = np.zeros((P, El), np.float32)
-    w_local[lgrp, lpos] = w[lorder]
+    w_local = np.zeros((K, P, El), np.float32)
+    w_local[:, lgrp, lpos] = w[lorder].T
 
     # ---- remote edges: sort by (dst owner, src), one unique pass
     ri = np.flatnonzero(~is_local)
@@ -226,8 +235,10 @@ def partition_graph(senders, receivers, num_nodes: int, num_devices: int,
     rem_dst[rp, rpos] = (r[rorder] % S).astype(np.int32)
     rem_mask = np.zeros((P, Er), bool)
     rem_mask[rp, rpos] = True
-    w_remote = np.zeros((P, Er), np.float32)
-    w_remote[rp, rpos] = w[rorder]
+    w_remote = np.zeros((K, P, Er), np.float32)
+    w_remote[:, rp, rpos] = w[rorder].T
+    if not stacked:
+        w_local, w_remote = w_local[0], w_remote[0]
 
     shards = GraphShards(
         num_devices=P, nodes_per_shard=S, halo_size=H, boundary_size=B,
@@ -402,6 +413,14 @@ def halo_gat(h_local, a_src_local, a_dst_local, tables, axis: str,
     (S, H) attention half-logits.  Returns (S, H*C) aggregated,
     un-normalised heads concatenated (softmax denominator applied).
     Differentiable end-to-end (XLA derives the collective transposes).
+
+    Residual underflow window (same as ops/packed_gat.py, ADVICE round
+    4): the shift uses the GLOBAL pmax of ``a_src``, so a receiver
+    whose best incoming sender logit sits more than ~37 (f32 exp
+    range) below that max still underflows; the ``den`` guard then
+    returns exactly-0 output for that node (finite gradients) instead
+    of its true attention average.  Use a per-receiver segment-max of
+    incoming logits when exactness matters at extreme logit spreads.
     """
     S = h_local.shape[0]
     H = heads

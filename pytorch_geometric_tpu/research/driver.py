@@ -148,12 +148,20 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
 
     # one compiled scan length per phase: distinct span lengths each
     # recompile run_span (~1-3 min each on the remote backend — the
-    # 100+100-epoch pipeline spent most of its 21 min compiling), so
-    # every span runs as repeated CHUNKS of the gcd of all span lengths
+    # 100+100-epoch pipeline spent most of its 21 min compiling).
+    # Chunk = gcd of span lengths when it is not degenerate; coprime
+    # spans (e.g. 100 and 37) would collapse the gcd to 1 (one dispatch
+    # per epoch — correct but dispatch-bound on the remote backend), so
+    # fall back to chunk = min span length and run each span's
+    # remainder as one extra compiled length (<= #spans + 1 compiled
+    # scans total; ADVICE round 4).
     import math
     chunk = 0
     for length, _ in spans:
         chunk = math.gcd(chunk, length)
+    min_span = min((length for length, _ in spans), default=1)
+    if chunk < max(1, min_span // 4):
+        chunk = min_span
     chunk = max(chunk, 1)
 
     train_conv: List[float] = []
@@ -164,6 +172,11 @@ def train_part(model, graph, params, epochs: int, lr: float = 0.01,
         for _ in range(length // chunk):
             (params, opt_state, key), ls = run_span(
                 params, opt_state, key, chunk)
+            losses.append(np.asarray(ls))
+        rem = length % chunk
+        if rem:
+            (params, opt_state, key), ls = run_span(
+                params, opt_state, key, rem)
             losses.append(np.asarray(ls))
         losses = np.concatenate(losses) if losses else np.zeros(0)
         train_conv.extend(np.asarray(losses).tolist())

@@ -281,3 +281,45 @@ def test_dist_rgcn_forward_matches_reference():
     h = jax.nn.relu(layer(jnp.asarray(x), p["conv1"], 5))
     ref = np.asarray(layer(h, p["conv2"], C))
     np.testing.assert_allclose(out, ref, rtol=3e-2, atol=6e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < P_DEV,
+                    reason="needs virtual mesh")
+def test_preexisting_self_loops_are_deduped():
+    """ADVICE round 4 (medium): edge lists that already carry self
+    loops must get remove-then-add semantics (matching the single-chip
+    convs), not a double-counted self contribution."""
+    src, dst, x, y, N, C = _problem(seed=5)
+    loops = np.arange(0, N, 3)
+    src_l = np.concatenate([src, loops])
+    dst_l = np.concatenate([dst, loops])
+
+    model = DistGCN(hidden_channels=8, num_classes=C)
+    outs = []
+    for s, d in ((src, dst), (src_l, dst_l)):
+        part = _part(s, d, N)
+        x_sh = part.shard_nodes(x)
+        params = part.init_model(model, x_sh, jax.random.PRNGKey(2))
+        outs.append(part.unshard_nodes(
+            part.apply_model(model, params, x_sh)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
+
+
+def test_partition_graph_weight_stack_routes_identically():
+    """(E, K) stacked weights share one slot assignment and match the
+    per-vector routing of separate calls."""
+    from pytorch_geometric_tpu.parallel.partition import partition_graph
+
+    rng = np.random.default_rng(11)
+    N, E = 120, 900
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    ws = rng.normal(size=(E, 3)).astype(np.float32)
+    shards, (wl_all, wr_all) = partition_graph(
+        src, dst, N, 4, edge_weights=ws)
+    assert wl_all.shape[0] == 3 and wr_all.shape[0] == 3
+    for k in range(3):
+        sh_k, (wl_k, wr_k) = partition_graph(
+            src, dst, N, 4, edge_weights=ws[:, k])
+        np.testing.assert_array_equal(wl_all[k], wl_k)
+        np.testing.assert_array_equal(wr_all[k], wr_k)
