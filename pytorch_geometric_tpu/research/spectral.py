@@ -13,6 +13,7 @@ pytree, not mutated in place.
 """
 
 import math
+from functools import lru_cache as _lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -48,13 +49,86 @@ def weights_to_adjacency(weights: np.ndarray, start_node: int = 0,
     return Gw, Gu
 
 
-def compute_fiedler_vector(G: nx.Graph):
+#: device-path state: flipped off after the first device failure so the
+#: pipeline degrades to the host path without re-raising per call
+_FIEDLER_STATE = {"device_ok": True}
+#: graphs below this size stay on host eigh — the RPC dispatch to the
+#: remote chip costs more than the whole decomposition
+_DEVICE_MIN_NODES = 192
+
+
+@_lru_cache(maxsize=32)
+def _fiedler_device_fn(n_pad: int, iters: int):
+    """jit'd deflated power iteration on the (padded) normalised
+    Laplacian — matmul-only, so it is safe on the remote TPU worker
+    where dense ``eigh``/``svd`` crash the process (PERF.md round 4).
+    Mirrors the reference's own iterative fallback
+    (SpectralAnalysis.py:437 power_iteration), deflated to reach the
+    SECOND-smallest pair: with An the masked normalised adjacency,
+    M v = mask * (v + An v) has eigenvalues 2 - eig(L) on the real
+    subspace, so its dominant pair is L's smallest and one deflation
+    step yields the Fiedler pair."""
+    import jax
+
+    def run(A, mask, v2_init):
+        d = A.sum(axis=1)
+        dis = jnp.where(d > 0, jax.lax.rsqrt(jnp.maximum(d, 1e-30)),
+                        0.0)
+        An = (dis[:, None] * A) * dis[None, :]
+        An = (An + An.T) / 2.0
+
+        def norm(v):
+            return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+        v1 = norm(mask)
+        v2 = v2_init * mask
+        v2 = norm(v2 - (v1 @ v2) * v1)
+
+        def body(_, carry):
+            v1, v2 = carry
+            w1 = mask * (v1 + An @ v1)
+            v1 = norm(w1)
+            w2 = mask * (v2 + An @ v2)
+            w2 = w2 - (v1 @ w2) * v1
+            return v1, norm(w2)
+
+        v1, v2 = jax.lax.fori_loop(0, iters, body, (v1, v2))
+        lam2 = (v2 * mask) @ v2 - v2 @ (An @ v2)
+        return lam2, v2
+
+    return jax.jit(run)
+
+
+def _fiedler_device(A: np.ndarray, iters: int = 512):
+    """Device Fiedler pair of |A|'s normalised Laplacian; pads to the
+    next power of two so the compile cache stays O(log n)."""
+    n = A.shape[0]
+    n_pad = 1 << max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    Ap = np.zeros((n_pad, n_pad), np.float32)
+    Ap[:n, :n] = A
+    mask = np.zeros(n_pad, np.float32)
+    mask[:n] = 1.0
+    v2 = np.random.default_rng(0).normal(size=n_pad).astype(np.float32)
+    lam2, vec = _fiedler_device_fn(n_pad, iters)(
+        jnp.asarray(Ap), jnp.asarray(mask), jnp.asarray(v2))
+    return float(lam2), np.asarray(vec)[:n].astype(np.float64)
+
+
+def compute_fiedler_vector(G: nx.Graph, use_device: bool = None):
     """(algebraic connectivity, Fiedler vector) of the normalised
     Laplacian (replaces the reference's cupy eigh,
-    SpectralAnalysis.py:208-217).  Host numpy eigh: this runs between
-    training phases on small weight-graph Laplacians, and XLA's dense
-    eigendecomposition crashes the remote v5e worker (same failure as
-    the SVD in research/pruning.py, measured round 4)."""
+    SpectralAnalysis.py:208-217).
+
+    Two backends (VERDICT round 4, item 8):
+
+    - **device** (default for graphs >= ``_DEVICE_MIN_NODES``): deflated
+      power iteration — matmuls only, compiled once per padded size, so
+      the fine-tune correction step stays off the host O(n^3) path AND
+      off XLA's dense eigendecomposition (which crashes the remote v5e
+      worker — the round-4 measured hazard).
+    - **host** numpy eigh: small graphs and the fallback when the
+      device path errors (state is remembered; no per-call re-raise).
+    """
     # |w| magnitudes: the reference feeds SIGNED weights into the
     # normalised Laplacian (SpectralAnalysis.py:208-217), whose
     # negative degrees make sqrt(d) NaN — undefined under cupy and
@@ -62,6 +136,14 @@ def compute_fiedler_vector(G: nx.Graph):
     # spectral step runs on |A| (signed weights still drive the
     # link-prediction scores downstream).
     A = np.abs(nx.to_numpy_array(G, weight="weight"))
+    n = A.shape[0]
+    use = (_FIEDLER_STATE["device_ok"] and n >= _DEVICE_MIN_NODES) \
+        if use_device is None else use_device
+    if use:
+        try:
+            return _fiedler_device(A)
+        except Exception:
+            _FIEDLER_STATE["device_ok"] = False
     d = A.sum(axis=1)
     dis = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-30)), 0.0)
     lap = np.eye(A.shape[0]) - (dis[:, None] * A) * dis[None, :]

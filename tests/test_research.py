@@ -235,3 +235,51 @@ def test_checkpoint_roundtrip(tmp_path):
     p, o, tc, vc, metric, epoch = restored
     np.testing.assert_array_equal(np.asarray(p["w"]), 1.0)
     assert metric == 0.5 and epoch == 10
+
+
+def test_fiedler_device_power_iteration_parity():
+    """VERDICT round 4 item 8: the device (matmul-only, deflated power
+    iteration) Fiedler pair matches host numpy eigh — algebraic
+    connectivity to 1e-3 and the vector up to sign — so the fine-tune
+    correction step can run off the host O(n^3) path."""
+    import numpy as np
+
+    from pytorch_geometric_tpu.research.spectral import (
+        _fiedler_device,
+        weights_to_adjacency,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((40, 60), (130, 90)):
+        W = rng.normal(size=shape)
+        Gw, _ = weights_to_adjacency(W)
+        lam_h, vec_h = compute_fiedler_vector(Gw, use_device=False)
+        import networkx as nx
+        A = np.abs(nx.to_numpy_array(Gw, weight="weight"))
+        lam_d, vec_d = _fiedler_device(A)
+        assert abs(lam_d - lam_h) < 1e-3, (lam_d, lam_h)
+        align = abs(float(np.dot(vec_d, vec_h))
+                    / (np.linalg.norm(vec_d) * np.linalg.norm(vec_h)))
+        assert align > 0.99, align
+
+
+def test_fiedler_device_used_for_large_graphs(monkeypatch):
+    """The auto backend routes large graphs to the device path."""
+    import numpy as np
+
+    from pytorch_geometric_tpu.research import spectral
+
+    calls = {"n": 0}
+    real = spectral._fiedler_device
+
+    def spy(A, iters=512):
+        calls["n"] += 1
+        return real(A, iters)
+
+    monkeypatch.setattr(spectral, "_fiedler_device", spy)
+    monkeypatch.setitem(spectral._FIEDLER_STATE, "device_ok", True)
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(128, 128))
+    Gw, _ = spectral.weights_to_adjacency(W)
+    spectral.compute_fiedler_vector(Gw)
+    assert calls["n"] == 1
