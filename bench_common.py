@@ -90,14 +90,55 @@ def time_program(fn, *args, iters=3):
     return max(best - rpc, 1e-9), out
 
 
-def emit(metric, seconds, baseline, extra=None):
+def emit(metric, seconds, baseline, extra=None, synthetic=None):
     rec = {"metric": metric, "value": round(seconds, 6), "unit": "s",
            "vs_baseline": round(baseline / seconds, 3) if baseline
            else None}
+    if synthetic is not None:
+        rec["synthetic"] = bool(synthetic)
     if extra:
         rec["detail"] = extra
     print(json.dumps(rec), flush=True)
     return rec
+
+
+def dataset_is_synthetic(ds) -> bool:
+    """True when the cached corpus is the air-gapped synthetic fallback
+    (datasets write a raw_dir/SYNTHETIC marker when they generate data
+    instead of parsing real raw files)."""
+    import os.path as osp
+    raw = getattr(ds, "raw_dir", None)
+    return bool(raw) and osp.exists(osp.join(raw, "SYNTHETIC"))
+
+
+#: dataset-calibrated (min_val, min_test) gates for REAL corpora —
+#: the reference's published accuracies minus ~3 points of seed
+#: variance (Kipf GCN: Cora .815 / CiteSeer .703 / PubMed .790;
+#: GAT: .830/.725/.790; RGCN Entities-MUTAG test ~.73).  Synthetic
+#: planted graphs keep the callers' smoke thresholds — a real-data run
+#: therefore validates parity with the published numbers with zero
+#: code change (VERDICT round 4, item 7).
+REAL_GATES = {
+    ("cora", "gcn"): (0.76, 0.78),
+    ("citeseer", "gcn"): (0.66, 0.67),
+    ("pubmed", "gcn"): (0.74, 0.76),
+    ("cora", "gat"): (0.76, 0.78),
+    ("citeseer", "gat"): (0.66, 0.68),
+    ("pubmed", "gat"): (0.74, 0.76),
+    ("mutag", "rgcn"): (0.0, 0.65),
+}
+
+
+def resolve_gates(dataset: str, model: str, ds, min_val: float,
+                  min_test: float):
+    """(val_gate, test_gate, is_synthetic) — calibrated gates on real
+    corpora, the caller's smoke gates on synthetic fallbacks."""
+    syn = dataset_is_synthetic(ds)
+    if not syn:
+        gv, gt = REAL_GATES.get((dataset.lower(), model),
+                                (min_val, min_test))
+        return max(min_val, gv), max(min_test, gt), syn
+    return min_val, min_test, syn
 
 
 def bench_citation_gcn(dataset: str, epochs: int = 200, K: int = 8,
@@ -164,13 +205,17 @@ def bench_citation_gcn(dataset: str, epochs: int = 200, K: int = 8,
     per = secs / K
     val, test = float(ev["val_acc"]), float(ev["test_acc"])
     gap = float(gap)
+    min_val_acc, min_test_acc, syn = resolve_gates(
+        dataset, "gcn", ds, min_val_acc, min_test_acc)
     assert val > min_val_acc and test > min_test_acc, \
-        f"{dataset} gcn held-out acc too low: val={val} test={test}"
+        f"{dataset} gcn held-out acc too low: val={val} test={test} " \
+        f"(gates {min_val_acc}/{min_test_acc}, synthetic={syn})"
     assert gap < 1e-3, f"closure/full logit gap {gap}"
     return emit(f"{dataset}_gcn_{epochs}epoch_wallclock", per,
                 BASELINES[(dataset, "gcn")],
                 {"val_acc": round(val, 4), "test_acc": round(test, 4),
-                 "closure_full_logit_gap": gap, "K": K})
+                 "closure_full_logit_gap": gap, "K": K},
+                synthetic=syn)
 
 
 def bench_citation_gat(dataset: str, epochs: int = 200, K: int = 8,
@@ -253,13 +298,17 @@ def bench_citation_gat(dataset: str, epochs: int = 200, K: int = 8,
     per = secs / K
     val, test = float(ev["val_acc"]), float(ev["test_acc"])
     gap = float(gap)
+    min_val_acc, min_test_acc, syn = resolve_gates(
+        dataset, "gat", ds, min_val_acc, min_test_acc)
     assert val > min_val_acc and test > min_test_acc, \
-        f"{dataset} gat held-out acc too low: val={val} test={test}"
+        f"{dataset} gat held-out acc too low: val={val} test={test} " \
+        f"(gates {min_val_acc}/{min_test_acc}, synthetic={syn})"
     assert gap < 1e-2, f"closure/full logit gap {gap}"
     return emit(f"{dataset}_gat_{epochs}epoch_wallclock", per,
                 BASELINES[(dataset, "gat")],
                 {"val_acc": round(val, 4), "test_acc": round(test, 4),
-                 "closure_full_logit_gap": gap, "K": K})
+                 "closure_full_logit_gap": gap, "K": K},
+                synthetic=syn)
 
 
 def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
@@ -343,12 +392,16 @@ def bench_citation_gat_fullgraph(dataset: str, epochs: int = 200,
     secs, (_, ev) = time_program(run, params0, opt0, key)
     per = secs / K
     val, test = float(ev["val_acc"]), float(ev["test_acc"])
+    min_val_acc, min_test_acc, syn = resolve_gates(
+        dataset, "gat", ds, min_val_acc, min_test_acc)
     assert val > min_val_acc and test > min_test_acc, \
-        f"{dataset} fullgraph gat acc too low: val={val} test={test}"
+        f"{dataset} fullgraph gat acc too low: val={val} test={test} " \
+        f"(gates {min_val_acc}/{min_test_acc}, synthetic={syn})"
     return emit(f"{dataset}_gat_fullgraph_{epochs}epoch_wallclock", per,
                 BASELINES[(dataset, "gat")],
                 {"val_acc": round(val, 4), "test_acc": round(test, 4),
-                 "K": K, "kernel": "packed_flash_gat"})
+                 "K": K, "kernel": "packed_flash_gat"},
+                synthetic=syn)
 
 
 def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
@@ -477,12 +530,16 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
     secs, (_, ev) = time_program(run, params0, opt0, key, nd_arg)
     per = secs / K
     val, test = float(ev["val_acc"]), float(ev["test_acc"])
+    min_val_acc, min_test_acc, syn = resolve_gates(
+        dataset, "gcn", ds, min_val_acc, min_test_acc)
     assert val > min_val_acc and test > min_test_acc, \
-        f"{dataset} fullgraph gcn acc too low: val={val} test={test}"
+        f"{dataset} fullgraph gcn acc too low: val={val} test={test} " \
+        f"(gates {min_val_acc}/{min_test_acc}, synthetic={syn})"
     return emit(f"{dataset}_gcn_fullgraph_{epochs}epoch_wallclock", per,
                 BASELINES[(dataset, "gcn")],
                 {"val_acc": round(val, 4), "test_acc": round(test, 4),
-                 "K": K, "kernel": f"gcn_{backend}"})
+                 "K": K, "kernel": f"gcn_{backend}"},
+                synthetic=syn)
 
 
 def bench_rgcn(epochs: int = 200, K: int = 4,
@@ -562,12 +619,17 @@ def bench_rgcn(epochs: int = 200, K: int = 4,
     secs, (_, test_acc, gap) = time_program(run, params0, opt0)
     per = secs / K
     test_acc, gap = float(test_acc), float(gap)
-    assert test_acc > min_test_acc, f"rgcn test acc too low: {test_acc}"
+    _, min_test_acc, syn = resolve_gates("mutag", "rgcn", ds, 0.0,
+                                         min_test_acc)
+    assert test_acc > min_test_acc, \
+        f"rgcn test acc too low: {test_acc} (gate {min_test_acc}, " \
+        f"synthetic={syn})"
     assert gap < 1e-2, f"closure/full logit gap {gap}"
     return emit(f"mutag_rgcn_{epochs}epoch_wallclock", per,
                 BASELINES[("mutag", "rgcn")],
                 {"test_acc": round(test_acc, 4),
-                 "closure_full_logit_gap": gap, "K": K})
+                 "closure_full_logit_gap": gap, "K": K},
+                synthetic=syn)
 
 
 def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
@@ -667,11 +729,16 @@ def bench_rgcn_fullgraph(epochs: int = 200, K: int = 4,
     secs, (_, test_acc) = time_program(run, params0, opt0)
     per = secs / K
     test_acc = float(test_acc)
-    assert test_acc > min_test_acc, f"rgcn test acc too low: {test_acc}"
+    _, min_test_acc, syn = resolve_gates("mutag", "rgcn", ds, 0.0,
+                                         min_test_acc)
+    assert test_acc > min_test_acc, \
+        f"rgcn test acc too low: {test_acc} (gate {min_test_acc}, " \
+        f"synthetic={syn})"
     return emit(f"mutag_rgcn_fullgraph_{epochs}epoch_wallclock", per,
                 BASELINES[("mutag", "rgcn")],
                 {"test_acc": round(test_acc, 4), "K": K,
-                 "kernel": "packed_rgcn"})
+                 "kernel": "packed_rgcn"},
+                synthetic=syn)
 
 
 def bench_pruning_pipeline(epochs: int = 100,
@@ -699,6 +766,9 @@ def bench_pruning_pipeline(epochs: int = 100,
         shutil.rmtree(tmp, ignore_errors=True)
     best = float(res[0]["finetune_best"])
     assert best > min_acc, f"pipeline fine-tune acc too low: {best}"
+    import os.path as _osp
+    _syn = _osp.exists(_osp.join("datasets_cache", "Cora", "raw",
+                                 "SYNTHETIC"))
     return emit("cora_pruning_pipeline_wallclock", secs, None, {
         "pretrain_best": round(float(res[0]["pretrain_best"]), 4),
         "finetune_best": round(best, 4),
@@ -708,7 +778,7 @@ def bench_pruning_pipeline(epochs: int = 100,
         "note": "pre-train + SVD prune + rebuild + fine-tune with "
         "spectral weight correction (reference "
         "ConvexPruning.py:443-576); no reference wall-clock exists "
-        "for this pipeline"})
+        "for this pipeline"}, synthetic=_syn)
 
 
 def bench_reddit_sage_sampled(batch_size: int = 512,
@@ -799,7 +869,8 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
         "loss_last": round(losses[-1], 4),
         "fanout": [10, 10],
         "n": int(data.num_nodes), "kernel": "C++ neighbor sampler + "
-        "index-shipping batches + in-jit device feature gather"})
+        "index-shipping batches + in-jit device feature gather"},
+        synthetic=dataset_is_synthetic(ds))
 
 
 def run_scale_suite():

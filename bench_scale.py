@@ -33,7 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from bench_common import emit, time_program
+from bench_common import emit as _emit, time_program
+
+
+def emit(*args, **kwargs):
+    # every row in this suite runs on a generated (Reddit-shaped or
+    # adversarial) graph — mark provenance explicitly (VERDICT item 7)
+    kwargs.setdefault("synthetic", True)
+    return _emit(*args, **kwargs)
 
 REDDIT_N = 232_965
 REDDIT_E = 114_615_892
