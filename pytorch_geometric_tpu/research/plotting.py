@@ -186,6 +186,67 @@ def plot_partition(results_dir: str, dataset: str, model_name: str,
     return out
 
 
+def significance_report(weights_path: str, num_clusters: int = 4,
+                        num_samples: int = 20,
+                        shuffle_method: str = "layer",
+                        num_workers: int = None, seed: int = 0,
+                        out: str = None):
+    """N-cut significance of a net's weight graph under the shuffle
+    null (reference pipeline: spectral_cluster_model.py run_clustering
+    :952 + shuffle_and_cluster :870-950 + compute_pvalue).  Input: an
+    ``.npz`` of 2-D weight matrices (insertion order = layer order) or
+    a research CheckpointManager ``.pkl`` (2-D 'weight' leaves are
+    extracted in pytree order).  Prints a JSON report; ``--out`` also
+    writes a null-histogram plot with the actual n-cut marked."""
+    import json
+
+    from pytorch_geometric_tpu.research.spectral_cluster import (
+        run_clustering)
+
+    if weights_path.endswith(".npz"):
+        with np.load(weights_path) as z:
+            weights = [z[k] for k in z.files]
+    else:
+        import pickle
+
+        with open(weights_path, "rb") as f:
+            state = pickle.load(f)
+        from pytorch_geometric_tpu.research.spectral import (
+            layer_weight_items)
+        params = state.get("params", state) if isinstance(state, dict) \
+            else state
+        weights = [w for _, w in layer_weight_items(params)]
+    if not weights:
+        raise SystemExit(f"no 2-D weight matrices found in "
+                         f"{weights_path}")
+    res = run_clustering([np.asarray(w) for w in weights],
+                         num_clusters=num_clusters,
+                         num_shuffle_samples=num_samples,
+                         shuffle_method=shuffle_method, seed=seed,
+                         num_workers=num_workers)
+    report = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+              for k, v in res.items() if k != "labels"}
+    report["num_clusters"] = num_clusters
+    report["layers"] = [list(np.asarray(w).shape) for w in weights]
+    print(json.dumps(report, indent=2))
+    if out:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.hist(res["shuffle_ncuts"], bins=min(20, num_samples),
+                alpha=0.7, label="shuffle null")
+        ax.axvline(res["ncut"], color="red",
+                   label=f"actual (p={res['pvalue']:.3f})")
+        ax.set_xlabel("n-cut")
+        ax.legend()
+        fig.savefig(out, dpi=150)
+        plt.close(fig)
+        print(f"wrote {out}")
+    return report
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Result-analysis plots")
     sub = p.add_subparsers(dest="cmd")
@@ -217,6 +278,18 @@ def main(argv=None):
     pp.add_argument("--epoch", type=int, default=40)
     pp.add_argument("--out", default=None)
 
+    ps = sub.add_parser("significance",
+                        help="n-cut shuffle-null p-value of a net")
+    ps.add_argument("weights_path",
+                    help=".npz of weight matrices or checkpoint .pkl")
+    ps.add_argument("--num_clusters", type=int, default=4)
+    ps.add_argument("--num_samples", type=int, default=20)
+    ps.add_argument("--shuffle_method", default="layer",
+                    choices=["layer", "layer_nonzero"])
+    ps.add_argument("--num_workers", type=int, default=None)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--out", default=None)
+
     # bare invocation keeps the round-1 flags (convergence plot)
     p.set_defaults(cmd=None, results_dir="Results", dataset="Cora",
                    which="Test", out=None)
@@ -229,6 +302,10 @@ def main(argv=None):
     elif args.cmd == "partition":
         plot_partition(args.results_dir, args.dataset, args.modelName,
                        args.epoch, args.out)
+    elif args.cmd == "significance":
+        significance_report(args.weights_path, args.num_clusters,
+                            args.num_samples, args.shuffle_method,
+                            args.num_workers, args.seed, args.out)
     else:
         plot_convergence(args.results_dir, args.dataset, args.which,
                          args.out)

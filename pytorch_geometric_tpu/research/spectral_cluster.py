@@ -123,25 +123,51 @@ SHUFFLE_METHODS = {"layer": shuffle_weights,
                    "layer_nonzero": shuffle_weights_nonzero}
 
 
+def _null_sample(args) -> float:
+    """One shuffle-null draw (module-level so process pools can pickle
+    it)."""
+    weights, num_clusters, shuffle_method, delete_isolated, epsilon, \
+        sample_seed = args
+    rng = np.random.default_rng(sample_seed)
+    fn = SHUFFLE_METHODS[shuffle_method]
+    shuffled = [fn(w, rng) for w in weights]
+    adj = weights_to_graph(shuffled)
+    if delete_isolated:
+        shuffled, adj = delete_isolated_ccs(shuffled, adj)
+    labels = cluster_net(num_clusters, adj, seed=sample_seed % (2**31))
+    return ncut(shuffled, num_clusters, labels, epsilon)
+
+
 def shuffle_and_cluster(weights: Sequence[np.ndarray], num_clusters: int,
                         num_samples: int = 20,
                         shuffle_method: str = "layer",
                         delete_isolated: bool = True,
-                        epsilon: float = 1e-8, seed: int = 0
-                        ) -> np.ndarray:
+                        epsilon: float = 1e-8, seed: int = 0,
+                        num_workers: int = None) -> np.ndarray:
     """Null distribution of n-cuts over shuffled weights (reference
-    :870-950)."""
-    rng = np.random.default_rng(seed)
-    fn = SHUFFLE_METHODS[shuffle_method]
-    out = []
-    for _ in range(num_samples):
-        shuffled = [fn(w, rng) for w in weights]
-        adj = weights_to_graph(shuffled)
-        if delete_isolated:
-            shuffled, adj = delete_isolated_ccs(shuffled, adj)
-        labels = cluster_net(num_clusters, adj, seed=seed)
-        out.append(ncut(shuffled, num_clusters, labels, epsilon))
-    return np.asarray(out)
+    :870-950).  Samples are independent (per-sample seeds derived from
+    ``seed``), so they run on a process pool — the reference used a
+    pathos multiprocess map for the same loop
+    (spectral_cluster_model.py:870-950).  ``num_workers=None`` sizes
+    the pool to min(cpu_count, num_samples); ``<= 1`` runs serial.
+    Deterministic given ``seed`` regardless of worker count."""
+    import os
+
+    seeds = np.random.default_rng(seed).integers(
+        2 ** 31, size=num_samples)
+    tasks = [(list(weights), num_clusters, shuffle_method,
+              delete_isolated, epsilon, int(s)) for s in seeds]
+    if num_workers is None:
+        num_workers = min(os.cpu_count() or 1, num_samples)
+    if num_workers <= 1 or num_samples <= 1:
+        return np.asarray([_null_sample(t) for t in tasks])
+    # spawn, not fork: the caller usually has jax initialised and
+    # fork() from a threaded process deadlocks the children (measured)
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    with ProcessPoolExecutor(max_workers=num_workers,
+                             mp_context=mp.get_context("spawn")) as ex:
+        return np.asarray(list(ex.map(_null_sample, tasks)))
 
 
 def compute_pvalue(actual: float, null_samples: np.ndarray) -> float:
@@ -156,7 +182,7 @@ def run_clustering(weights: Sequence[np.ndarray], num_clusters: int = 4,
                    num_shuffle_samples: int = 20,
                    shuffle_method: str = "layer",
                    delete_isolated: bool = True, epsilon: float = 1e-8,
-                   seed: int = 0) -> Dict:
+                   seed: int = 0, num_workers: int = None) -> Dict:
     """The full pipeline (reference run_clustering :952): cluster the
     real weight graph, build the shuffle null, report the p-value."""
     weights = [np.asarray(w) for w in weights]
@@ -169,7 +195,8 @@ def run_clustering(weights: Sequence[np.ndarray], num_clusters: int = 4,
     actual = ncut(weights2, num_clusters, labels, epsilon)
     null = shuffle_and_cluster(weights2, num_clusters,
                                num_shuffle_samples, shuffle_method,
-                               delete_isolated, epsilon, seed)
+                               delete_isolated, epsilon, seed,
+                               num_workers=num_workers)
     return {
         "ncut": actual,
         "labels": labels,

@@ -303,3 +303,60 @@ def test_packed_gat_extreme_logits_no_nan(rng):
         * alpha[:, :, None]
     ref = np.asarray(segment_sum(msgs, rj, N).reshape(N, H * C))
     np.testing.assert_allclose(out, ref, rtol=6e-2, atol=6e-2)
+
+
+@pytest.mark.parametrize("C,H", [(8, 1), (8, 8), (64, 4), (256, 2),
+                                 (1084, 1), (1084, 8)])
+def test_packed_gat_width_head_sweep(rng, C, H):
+    """VERDICT round 4 item 9: property sweep over width x heads
+    (corners of {8..1084} x {1..8}) asserting (a) finite outputs and
+    gradients at extreme logit spreads — the wide-head collapse class —
+    and (b) fused-vs-generic parity at moderate spreads."""
+    from pytorch_geometric_tpu.ops.packed_gat import PackedFlashGat
+    from pytorch_geometric_tpu.ops.segment import (
+        segment_softmax,
+        segment_sum,
+    )
+
+    N, E = 48, 220
+    s = rng.integers(0, N, E)
+    r = rng.integers(0, N, E)
+    loops = np.arange(N)
+    s = np.concatenate([s, loops])
+    r = np.concatenate([r, loops])
+    op = PackedFlashGat(senders=s, receivers=r, num_nodes=N,
+                        window=64, tile=128)
+    d0 = rng.normal(size=(N, H)).astype(np.float32)
+    s0 = rng.normal(size=(N, H)).astype(np.float32)
+    h2 = jnp.asarray(rng.normal(size=(N, H * C)).astype(np.float32))
+
+    # extreme spread (~wide-width regime): finite fwd + grads
+    d, sa = jnp.asarray(d0 * 60), jnp.asarray(s0 * 60)
+    out = np.asarray(op(d, sa, h2, 0.0, rate=0.0))
+    assert np.isfinite(out).all(), (C, H)
+    g = jax.grad(lambda hh: jnp.sum(op(d, sa, hh, 0.0, rate=0.0)
+                                    ** 2))(h2)
+    assert np.isfinite(np.asarray(g)).all(), (C, H)
+
+    # moderate spread: parity vs generic segment softmax (fwd + grad)
+    d, sa = jnp.asarray(d0 * 3), jnp.asarray(s0 * 3)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def generic(hh):
+        z = jax.nn.leaky_relu(jnp.take(sa, sj, axis=0)
+                              + jnp.take(d, rj, axis=0), 0.2)
+        alpha = segment_softmax(z, rj, N)
+        msgs = jnp.take(hh.reshape(N, H, C), sj, axis=0) \
+            * alpha[:, :, None]
+        return segment_sum(msgs, rj, N).reshape(N, H * C)
+
+    out = np.asarray(op(d, sa, h2, 0.0, rate=0.0))
+    ref = np.asarray(generic(h2))
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=6e-2)
+
+    g_f = np.asarray(jax.grad(
+        lambda hh: jnp.sum(op(d, sa, hh, 0.0, rate=0.0) ** 2))(h2))
+    g_g = np.asarray(jax.grad(lambda hh: jnp.sum(generic(hh) ** 2))(h2))
+    gs = max(np.abs(g_g).max(), 1.0)
+    np.testing.assert_allclose(g_f / gs, g_g / gs, atol=6e-2)

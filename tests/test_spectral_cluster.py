@@ -92,3 +92,42 @@ def test_compute_pvalue():
     null = np.array([1.0, 2.0, 3.0, 4.0])
     assert compute_pvalue(0.5, null) == 1 / 5
     assert compute_pvalue(5.0, null) == 1.0
+
+
+def test_shuffle_and_cluster_parallel_matches_serial(rng):
+    """VERDICT round 4 item 10: the shuffle null runs on a process pool
+    (reference used pathos multiprocess); results are deterministic
+    given the seed regardless of worker count."""
+    from pytorch_geometric_tpu.research.spectral_cluster import (
+        shuffle_and_cluster)
+
+    ws = block_diag_weights(rng, noise=0.05)
+    serial = shuffle_and_cluster(ws, 2, num_samples=6, seed=7,
+                                 num_workers=1)
+    par = shuffle_and_cluster(ws, 2, num_samples=6, seed=7,
+                              num_workers=3)
+    np.testing.assert_allclose(serial, par)
+    assert len(serial) == 6
+
+
+def test_significance_cli_on_pruned_net(rng, tmp_path):
+    """End-to-end: prune a block-structured net, run the CLI
+    significance subcommand over its saved weights, get a small
+    p-value (modular structure beats the shuffle null)."""
+    import json
+
+    from pytorch_geometric_tpu.research.plotting import (
+        significance_report)
+
+    ws = block_diag_weights(rng, noise=0.02)
+    # percentile-prune like the ADMM utils: drop small entries
+    ws = [np.where(np.abs(w) > np.percentile(np.abs(w), 30), w, 0.0)
+          for w in ws]
+    path = tmp_path / "pruned.npz"
+    np.savez(path, *ws)
+    rep = significance_report(str(path), num_clusters=2,
+                              num_samples=8, num_workers=2,
+                              out=str(tmp_path / "null.png"))
+    assert rep["pvalue"] <= 0.2
+    assert (tmp_path / "null.png").exists()
+    json.dumps(rep)  # JSON-serializable
