@@ -802,10 +802,14 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
     # batch carries only int32 local->global ids (0.2 MB vs the 137 MB
     # padded feature matrix the materialized path re-transferred every
     # batch — measured 3.3 s/batch through the remote tunnel)
+    # prefetch=4: a background thread runs the CSR walks and uploads
+    # index batches while the device steps (host-pipelined sampling,
+    # VERDICT round 4 item 3) — epoch ~ max(sampler, device), not sum
     loader = NeighborSampler(
         data.edge_index[0], data.edge_index[1], data.num_nodes,
         sizes=[10, 10], batch_size=batch_size,
-        seed_nodes=train_nodes, seed=0, materialize_features=False)
+        seed_nodes=train_nodes, seed=0, materialize_features=False,
+        prefetch=4)
     # zero sentinel row appended: padding ids gather zeros, not node 0
     x_dev, y_dev = loader.device_tables(
         np.asarray(data.x, np.float32), np.asarray(data.y, np.int32))
@@ -846,10 +850,25 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 
-    # warm up the compile on the first bucket shape, then time a full
-    # sampled epoch (host sampling + device steps overlap naturally)
+    # warm up the compile on the first bucket shape
     params, opt, l0 = train_step(params, opt, g0, x_dev, y_dev)
     float(l0)
+
+    # device-only epoch: re-step a pre-sampled batch list (no host
+    # sampling on the timed path) — the overlap denominator
+    pre = []
+    for i, graph in enumerate(loader):
+        if i >= max_batches:
+            break
+        pre.append(graph)
+    t0 = time.perf_counter()
+    p2, o2 = params, opt
+    for graph in pre:
+        p2, o2, loss = train_step(p2, o2, graph, x_dev, y_dev)
+    float(loss)
+    device_s = time.perf_counter() - t0
+
+    # pipelined epoch: background sampler + device steps
     losses = []
     t0 = time.perf_counter()
     for i, graph in enumerate(loader):
@@ -862,14 +881,23 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
     secs = time.perf_counter() - t0
     assert losses[-1] < losses[0], \
         f"sampled SAGE loss did not decrease: {losses[:3]}...{losses[-3:]}"
+    # overlap evidence: pipelined epoch vs serial-sum and max bounds
+    hidden = (sampler_s + device_s - secs) / max(sampler_s, 1e-9)
     return emit("reddit_sage_sampled_epoch", secs, None, {
         "batches": len(losses), "batch_size": batch_size,
         "sampler_nodes_per_s": round(sampler_nodes_per_s, 0),
+        "sampler_only_s": round(sampler_s, 3),
+        "device_only_s": round(device_s, 3),
+        "serial_sum_s": round(sampler_s + device_s, 3),
+        "max_bound_s": round(max(sampler_s, device_s), 3),
+        "sampling_hidden_frac": round(hidden, 3),
+        "prefetch": 4,
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),
         "fanout": [10, 10],
         "n": int(data.num_nodes), "kernel": "C++ neighbor sampler + "
-        "index-shipping batches + in-jit device feature gather"},
+        "index-shipping batches, prefetch thread + bounded queue "
+        "(host-pipelined) + in-jit device feature gather"},
         synthetic=dataset_is_synthetic(ds))
 
 

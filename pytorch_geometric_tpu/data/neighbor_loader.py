@@ -31,14 +31,23 @@ class NeighborSampler:
                  sizes: Sequence[int], node_features=None, labels=None,
                  batch_size: int = 512, shuffle: bool = True,
                  seed_nodes=None, seed: int = 0,
-                 materialize_features: bool = True):
+                 materialize_features: bool = True,
+                 prefetch: int = 0):
         """``materialize_features=False`` ships INDICES only: batches
         carry no x/y; the consumer keeps the full feature/label tables
         device-resident and gathers rows in-jit via
         ``extras['local_to_global']``.  The materialized path pads x to
         the node budget (~137 MB/batch at Reddit fanout [10, 10]) and
         re-transfers it host->device every batch — measured 3.3 s/batch
-        through the remote tunnel vs milliseconds for the index path."""
+        through the remote tunnel vs milliseconds for the index path.
+
+        ``prefetch > 0`` pipelines sampling ON THE HOST (SURVEY §5
+        north star; the reference counterpart is the worker-overlapped
+        torch DataLoader under examples/ppi.py:14-16): a background
+        thread runs the CSR walks and fills a bounded queue of ready
+        (device-uploaded) batches while the device executes the current
+        step, so epoch wall-clock approaches
+        max(sampler, device) instead of their sum."""
         senders = np.asarray(senders, dtype=np.int64)
         receivers = np.asarray(receivers, dtype=np.int64)
         self.num_nodes = int(num_nodes)
@@ -52,6 +61,7 @@ class NeighborSampler:
         self.y = None if labels is None else np.asarray(labels)
         self.seed_nodes = np.arange(num_nodes) if seed_nodes is None \
             else np.asarray(seed_nodes)
+        self.prefetch = int(prefetch)
 
         # CSR over receivers (in-neighbors per node)
         order = np.argsort(receivers, kind="stable")
@@ -77,8 +87,55 @@ class NeighborSampler:
         seeds = self.seed_nodes.copy()
         if self.shuffle:
             self._rng.shuffle(seeds)
-        for start in range(0, len(seeds), self.batch_size):
-            yield self._sample(seeds[start:start + self.batch_size])
+        batches = [seeds[s: s + self.batch_size]
+                   for s in range(0, len(seeds), self.batch_size)]
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._sample(b)
+            return
+        yield from self._iter_prefetched(batches)
+
+    def _iter_prefetched(self, batches):
+        """Producer thread samples + uploads ahead of the consumer
+        through a bounded queue (double/N-buffered H2D).  The producer
+        is the only caller of ``self._rng`` while it runs, and it
+        shuts down promptly when the consumer abandons the epoch."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        done = object()
+
+        def produce():
+            try:
+                for b in batches:
+                    g = self._sample(b)
+                    while not stop.is_set():
+                        try:
+                            q.put(g, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(done)
+            except BaseException as exc:  # surface in the consumer
+                q.put(exc)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="neighbor-sampler-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def _sample(self, seeds: np.ndarray) -> Graph:
         all_src, all_dst = [], []

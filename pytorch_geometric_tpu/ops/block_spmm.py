@@ -153,22 +153,91 @@ class BlockStructure:
         W, B = self.window, self.num_dense_blocks
         weights = np.asarray(weights, dtype=np.float32)
         w_dense = weights[self._dense_edge_ids]
-        s_local = self._dense_flat % W
+        s_local = (self._dense_flat % W).astype(np.int64)
         dst_rows = self._dense_flat // W
-        geom, consts = pack_bipartite_tables(
-            s_local, dst_rows, W, B * W, w_dense, window=W,
-            tile=1024, compute_dtype=self.compute_dtype,
-            directions=("fwd",))
+        blk_of = (dst_rows // W).astype(np.int64)
         out_dtype = self.compute_dtype
-        eye = np.eye(W, dtype=np.float32)
+        eye = jnp.asarray(np.eye(W, dtype=np.float32))
+
+        # scalar-prefetch (per-tile) arrays live in 1 MB SMEM, capping
+        # a single pallas call at ~80k tiles; chunk the build at BLOCK
+        # boundaries (tiles never span blocks) so each chunk is an
+        # independent sub-table (measured: the full Reddit dense set is
+        # ~101k tiles and OOMs SMEM unchunked)
+        tile = 1024
+        max_tiles = 40_000
+        edges_per_block = np.bincount(blk_of, minlength=B)
+        tiles_per_block = -(-edges_per_block // tile) + 1
+        cuts = [0]
+        acc = 0
+        for b in range(B):
+            acc += int(tiles_per_block[b])
+            if acc > max_tiles:
+                cuts.append(b)
+                acc = int(tiles_per_block[b])
+        cuts.append(B)
+
+        # uniform chunk shapes -> ONE compiled build program reused
+        # across chunks (remote compiles cost 1-3 min each)
+        nb_u = max(cuts[i + 1] - cuts[i] for i in range(len(cuts) - 1))
+        order = np.argsort(blk_of, kind="stable")
+        blk_sorted = blk_of[order]
+        bounds = np.searchsorted(blk_sorted, np.asarray(cuts))
+        packed = []
+        for ci in range(len(cuts) - 1):
+            b0, b1 = cuts[ci], cuts[ci + 1]
+            sel = order[bounds[ci]: bounds[ci + 1]]
+            geom, consts = pack_bipartite_tables(
+                s_local[sel], dst_rows[sel] - b0 * W, W, nb_u * W,
+                w_dense[sel], window=W, tile=tile,
+                compute_dtype=self.compute_dtype, directions=("fwd",))
+            packed.append((geom, consts, b1 - b0))
+        t_max = max(c["fwd"]["tile_src_win"].shape[0]
+                    for _, c, _ in packed)
+        t_max8 = -(-t_max // 8) * 8
+
+        def pad_fwd(c):
+            t = c["fwd"]
+            T0 = t["tile_src_win"].shape[0]
+            rows = -(-T0 // 8) * 8
+            out = {}
+            for k in ("local_src", "local_dst", "w"):
+                a = t[k]
+                out[k] = np.concatenate(
+                    [a, np.zeros((t_max8 - a.shape[0],) + a.shape[1:],
+                                 a.dtype)]) if a.shape[0] < t_max8 \
+                    else a
+            # padding tiles repeat the last real dst window with
+            # weight 0: the accumulate run stays consecutive and adds
+            # zeros to an already-initialised block
+            out["tile_src_win"] = np.concatenate(
+                [t["tile_src_win"],
+                 np.full(t_max8 - T0, t["tile_src_win"][-1],
+                         t["tile_src_win"].dtype)])
+            out["tile_dst_win"] = np.concatenate(
+                [t["tile_dst_win"],
+                 np.full(t_max8 - T0, t["tile_dst_win"][-1],
+                         t["tile_dst_win"].dtype)])
+            out["tile_first"] = np.concatenate(
+                [t["tile_first"],
+                 np.zeros(t_max8 - T0, t["tile_first"].dtype)])
+            del rows
+            return {"fwd": out}
+
+        geom0 = packed[0][0]
 
         @jax.jit
-        def build(consts, eye):
-            table = _bi_apply(geom, consts["fwd"], eye, fwd=True)
-            return table.reshape(B, W, W).astype(out_dtype)
+        def run(consts, eye):
+            t = _bi_apply(geom0, consts["fwd"], eye, fwd=True)
+            return t.reshape(nb_u, W, W).astype(out_dtype)
 
-        return build(jax.tree_util.tree_map(jnp.asarray, consts),
-                     jnp.asarray(eye))
+        chunks = []
+        for geom, consts, nb in packed:
+            out = run(jax.tree_util.tree_map(
+                jnp.asarray, pad_fwd(consts)), eye)
+            chunks.append(out if nb == nb_u else out[:nb])
+        return chunks[0] if len(chunks) == 1 else \
+            jnp.concatenate(chunks, axis=0)
 
 
 class BlockSpmm:

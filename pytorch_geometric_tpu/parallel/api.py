@@ -150,6 +150,46 @@ class GraphPartition:
                               devices=(devices if devices is not None
                                        else jax.devices()[:num_devices]))
 
+    # ---- communication accounting (VERDICT round 4, item 4) --------------
+
+    def comm_stats(self, feature_dim: int, dtype_bytes: int = 4) -> Dict:
+        """Exact per-step halo-exchange volume (GraphShards.comm_stats)."""
+        return self.shards.comm_stats(feature_dim, dtype_bytes)
+
+    @staticmethod
+    def predict_scaling(num_edges: int, feature_dim: int,
+                        halo_bytes_per_dev: int, num_devices: int,
+                        edges_per_s_1dev: float,
+                        local_edge_frac: float = None,
+                        ici_GBps: float = 90.0,
+                        exchanges_per_step: int = 4) -> Dict:
+        """ICI cost model -> predicted scaling efficiency.
+
+        Model: per device and step, compute splits into the local part
+        (overlaps the collective — halo_spmm issues the local
+        aggregation before consuming remote rows) and the remote part:
+        ``T_step = max(T_local, T_comm) + T_remote``.  ``ici_GBps`` is
+        per-chip all_to_all throughput; 90 GB/s is a conservative v5e
+        figure (4 ICI links, bidirectional ~100s GB/s peak — the model
+        also reports the efficiency at half and double that so the
+        claim does not hinge on one constant).  Efficiency =
+        (T_1dev / P) / T_step."""
+        e_dev = num_edges / num_devices
+        t_1dev = num_edges / edges_per_s_1dev
+        lf = 0.8 if local_edge_frac is None else local_edge_frac
+        out = {"assumed_ici_GBps": ici_GBps,
+               "exchanges_per_step": exchanges_per_step}
+        for label, bw in (("eff_half_bw", ici_GBps / 2),
+                          ("eff", ici_GBps),
+                          ("eff_double_bw", ici_GBps * 2)):
+            t_comm = (halo_bytes_per_dev * exchanges_per_step
+                      / (bw * 1e9))
+            t_local = (e_dev * lf) / edges_per_s_1dev
+            t_remote = (e_dev * (1 - lf)) / edges_per_s_1dev
+            t_step = max(t_local, t_comm) + t_remote
+            out[label] = round((t_1dev / num_devices) / t_step, 4)
+        return out
+
     # ---- sharding helpers -------------------------------------------------
 
     def shard_nodes(self, x):

@@ -82,3 +82,82 @@ def test_index_shipping_batches_match_materialized():
         np.testing.assert_array_equal(yg[nm], np.asarray(gm.y)[nm])
         np.testing.assert_array_equal(np.asarray(gi.senders),
                                       np.asarray(gm.senders))
+
+
+def test_prefetch_reproduces_serial_batches():
+    """prefetch=N must yield exactly the serial batch stream (same
+    seeds, same samples) — the pipeline only changes WHEN sampling
+    happens, not what is sampled (VERDICT round 4, item 3)."""
+    rng = np.random.default_rng(2)
+    N, E = 500, 4000
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+
+    def make(prefetch):
+        return NeighborSampler(src, dst, N, sizes=[4, 4],
+                               batch_size=64, seed=9,
+                               materialize_features=False,
+                               prefetch=prefetch)
+
+    serial = list(make(0))
+    pre = list(make(3))
+    assert len(serial) == len(pre)
+    for a, b in zip(serial, pre):
+        np.testing.assert_array_equal(np.asarray(a.senders),
+                                      np.asarray(b.senders))
+        np.testing.assert_array_equal(
+            np.asarray(a.extras["local_to_global"]),
+            np.asarray(b.extras["local_to_global"]))
+
+
+def test_prefetch_overlaps_consumer_work():
+    """With a slow consumer, sampling hides under consumption: epoch
+    wall-clock ~ max(sampler, consumer), not the sum."""
+    import time
+
+    rng = np.random.default_rng(3)
+    N, E = 2000, 60000
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    loader = NeighborSampler(src, dst, N, sizes=[8, 8],
+                             batch_size=128, seed=1,
+                             materialize_features=False, prefetch=4)
+    n_batches = 6
+    # sampler-only cost
+    t0 = time.perf_counter()
+    for i, _ in enumerate(loader):
+        if i >= n_batches - 1:
+            break
+    sampler_s = time.perf_counter() - t0
+
+    consume_s = max(sampler_s / n_batches * 2, 0.02)  # slower consumer
+    t0 = time.perf_counter()
+    for i, _ in enumerate(loader):
+        time.sleep(consume_s)
+        if i >= n_batches - 1:
+            break
+    total = time.perf_counter() - t0
+    # serial would be ~ sampler_s + n*consume_s; overlapped should be
+    # close to n*consume_s (allow generous slack for CI noise)
+    assert total < 0.7 * sampler_s + n_batches * consume_s + 0.25, (
+        total, sampler_s, consume_s)
+
+
+def test_prefetch_early_abandon_shuts_down():
+    """Breaking out of a prefetched epoch must not wedge the producer
+    (bounded queue + stop event)."""
+    import threading
+
+    rng = np.random.default_rng(4)
+    N, E = 400, 3000
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    loader = NeighborSampler(src, dst, N, sizes=[4], batch_size=32,
+                             materialize_features=False, prefetch=2)
+    before = threading.active_count()
+    for i, _ in enumerate(loader):
+        if i >= 1:
+            break
+    import time
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
