@@ -180,13 +180,13 @@ class BlockStructure:
         # uniform chunk shapes -> ONE compiled build program reused
         # across chunks (remote compiles cost 1-3 min each)
         nb_u = max(cuts[i + 1] - cuts[i] for i in range(len(cuts) - 1))
-        order = np.argsort(blk_of, kind="stable")
-        blk_sorted = blk_of[order]
-        bounds = np.searchsorted(blk_sorted, np.asarray(cuts))
         packed = []
         for ci in range(len(cuts) - 1):
             b0, b1 = cuts[ci], cuts[ci + 1]
-            sel = order[bounds[ci]: bounds[ci + 1]]
+            # boolean range select per chunk (few chunks): cheaper than
+            # a full argsort of the dense edge list at 100M+ edges
+            sel = np.flatnonzero((blk_of >= b0) & (blk_of < b1)) \
+                if len(cuts) > 2 else slice(None)
             geom, consts = pack_bipartite_tables(
                 s_local[sel], dst_rows[sel] - b0 * W, W, nb_u * W,
                 w_dense[sel], window=W, tile=tile,
