@@ -72,6 +72,78 @@ def build_gat_pubmed(epochs):
     return run, (params0, opt0, key)
 
 
+def build_gcn_pubmed(epochs, backend="packed"):
+    """The bench_citation_gcn_fullgraph pubmed epoch (round 5, VERDICT
+    item 5: where do the ~2 ms/epoch go)."""
+    import optax
+
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets import Planetoid
+    from pytorch_geometric_tpu.models.citation import (
+        GCN, softmax_xent_int_labels)
+    from pytorch_geometric_tpu.nn.conv.gcn_conv import gcn_norm
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+    from pytorch_geometric_tpu.utils.reorder import reorder_graph
+
+    ds = Planetoid("datasets_cache", "Pubmed",
+                   transform=NormalizeFeatures())
+    graph = from_data(reorder_graph(ds[0]))
+    full_norm = gcn_norm(graph)
+    if backend == "packed":
+        from pytorch_geometric_tpu.ops.spmm import SpmmOperator
+        op = SpmmOperator(np.asarray(full_norm.senders),
+                          np.asarray(full_norm.receivers),
+                          graph.num_nodes, window=1024, tile=256,
+                          compute_dtype=jnp.bfloat16)
+        aggregate_fn = op.bind(full_norm.weights)
+    else:
+        from pytorch_geometric_tpu.ops.sorted_spmm import SortedSpmm
+        sop = SortedSpmm(np.asarray(full_norm.senders),
+                         np.asarray(full_norm.receivers),
+                         graph.num_nodes, tile=256, rows=1024,
+                         compute_dtype=jnp.bfloat16)
+        norm_w = jnp.asarray(np.asarray(full_norm.weights))
+
+        def aggregate_fn(h):
+            return sop(norm_w, h)
+
+    model = GCN(hidden_channels=16, num_classes=ds.num_classes)
+    train_idx = jnp.asarray(
+        np.flatnonzero(np.asarray(graph.train_mask)), jnp.int32)
+    y_train = jnp.asarray(np.asarray(graph.y)[np.asarray(train_idx)])
+    key = jax.random.key(0, impl="rbg")
+    params0 = model.init({"params": key}, graph, graph.x,
+                         aggregate_fn=aggregate_fn)
+    tx = optax.adam(0.01)
+    opt0 = tx.init(params0)
+
+    def epoch_step(carry, _):
+        params, opt, key = carry
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            logits = model.apply(p, graph, graph.x, train=True,
+                                 aggregate_fn=aggregate_fn,
+                                 rngs={"dropout": sub})
+            lg = jnp.take(logits, train_idx, axis=0)
+            loss = jnp.mean(softmax_xent_int_labels(lg, y_train))
+            wd = sum(jnp.sum(q ** 2) for q in
+                     jax.tree_util.tree_leaves(p["params"]["conv1"]))
+            return loss + 5e-4 * wd
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt, key), loss
+
+    @jax.jit
+    def run(params, opt, key):
+        (p, o, _), losses = jax.lax.scan(
+            epoch_step, (params, opt, key), None, length=epochs)
+        return losses[-1]
+
+    return run, (params0, opt0, key)
+
+
 def build_rgcn_mutag(epochs):
     import optax
     from examples.rgcn import Net
@@ -152,15 +224,21 @@ def print_op_stats(trace_dir, steps, top=25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="rgcn_mutag",
-                    choices=["gat_pubmed", "rgcn_mutag"])
+                    choices=["gat_pubmed", "rgcn_mutag", "gcn_pubmed",
+                             "gcn_pubmed_sorted"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
-    run, state = (build_gat_pubmed(args.epochs)
-                  if args.which == "gat_pubmed"
-                  else build_rgcn_mutag(args.epochs))
+    if args.which == "gat_pubmed":
+        run, state = build_gat_pubmed(args.epochs)
+    elif args.which == "gcn_pubmed":
+        run, state = build_gcn_pubmed(args.epochs)
+    elif args.which == "gcn_pubmed_sorted":
+        run, state = build_gcn_pubmed(args.epochs, backend="sorted")
+    else:
+        run, state = build_rgcn_mutag(args.epochs)
     print("compiling...", flush=True)
     float(run(*state))
     tdir = tempfile.mkdtemp(prefix="jaxtrace_")
