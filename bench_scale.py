@@ -377,7 +377,7 @@ def bench_adversarial_spmm(n=REDDIT_N, e=8_000_000, f=128, K=5):
 
     t0 = time.perf_counter()
     op = BlockSpmm(senders, receivers, n, w, window=1024,
-                   dense_threshold=1024, sparse_tile=256)
+                   dense_threshold=1024, sparse_tile=None)
     fn, consts = op.bind()
     consts = jax.tree_util.tree_map(jax.device_put, consts)
     jax.block_until_ready(consts)
