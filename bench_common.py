@@ -459,6 +459,21 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
 
         def aggregate_fn(h):
             return op(norm_w, h)
+    elif backend == "sorted":
+        # sorted-CSR per-edge path (round-5, VERDICT item 5): XLA
+        # gather in packed order + one-hot scatter with bf16 messages
+        # and lane-compact transposed out — pays the per-row gather
+        # ceiling instead of window x 128-lane MACs
+        from pytorch_geometric_tpu.ops.sorted_spmm import SortedSpmm
+        full_norm = gcn_norm(graph)
+        sop = SortedSpmm(np.asarray(full_norm.senders),
+                         np.asarray(full_norm.receivers),
+                         graph.num_nodes, tile=256, rows=1024,
+                         compute_dtype=jnp.bfloat16)
+        norm_w = jnp.asarray(np.asarray(full_norm.weights))
+
+        def aggregate_fn(h):
+            return sop(norm_w, h)
     else:
         raise ValueError(backend)
 
@@ -827,6 +842,7 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
     C = int(data.y.max()) + 1
     model = SAGE(hidden=128, num_classes=C)
     g0 = next(iter(loader))
+    b0 = next(iter(loader.iter_packed()))
     params = model.init(jax.random.PRNGKey(0), g0,
                         jnp.take(x_dev, g0.extras["local_to_global"],
                                  axis=0))
@@ -834,7 +850,11 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
     opt = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt, graph, x_dev, y_dev):
+    def train_step(params, opt, buf, x_dev, y_dev):
+        # packed batch: ONE upload per batch, Graph rebuilt in-jit
+        # (the ~8 per-leaf uploads cost ~3 ms of dispatch EACH through
+        # the remote backend — they were the unhidden epoch cost)
+        graph = loader.unpack(buf)
         ids = graph.extras["local_to_global"]
         x = jnp.take(x_dev, ids, axis=0)       # in-jit feature gather
         y = jnp.take(y_dev, ids)
@@ -851,46 +871,66 @@ def bench_reddit_sage_sampled(batch_size: int = 512,
         return optax.apply_updates(params, updates), opt, loss
 
     # warm up the compile on the first bucket shape
-    params, opt, l0 = train_step(params, opt, g0, x_dev, y_dev)
+    params, opt, l0 = train_step(params, opt, b0, x_dev, y_dev)
     float(l0)
 
-    # device-only epoch: re-step a pre-sampled batch list (no host
-    # sampling on the timed path) — the overlap denominator
+    # device-only epoch: re-step pre-uploaded packed batches (no host
+    # sampling or upload on the timed path) — the overlap denominator
     pre = []
-    for i, graph in enumerate(loader):
+    for i, buf in enumerate(loader.iter_packed()):
         if i >= max_batches:
             break
-        pre.append(graph)
+        pre.append(buf)
     t0 = time.perf_counter()
     p2, o2 = params, opt
-    for graph in pre:
-        p2, o2, loss = train_step(p2, o2, graph, x_dev, y_dev)
+    for buf in pre:
+        p2, o2, loss = train_step(p2, o2, buf, x_dev, y_dev)
     float(loss)
     device_s = time.perf_counter() - t0
 
-    # pipelined epoch: background sampler + device steps
-    losses = []
-    t0 = time.perf_counter()
-    for i, graph in enumerate(loader):
-        if i >= max_batches:
-            break
-        params, opt, loss = train_step(params, opt, graph, x_dev,
-                                       y_dev)
-        losses.append(loss)
-    losses = [float(l) for l in losses]
-    secs = time.perf_counter() - t0
-    assert losses[-1] < losses[0], \
-        f"sampled SAGE loss did not decrease: {losses[:3]}...{losses[-3:]}"
-    # overlap evidence: pipelined epoch vs serial-sum and max bounds
-    hidden = (sampler_s + device_s - secs) / max(sampler_s, 1e-9)
+    # serial (prefetch=0) vs pipelined epochs, best-of-2 each — the
+    # same-process A/B is robust to this VM's run-to-run noise, unlike
+    # deriving overlap from separately-warmed component loops
+    serial_loader = NeighborSampler(
+        data.edge_index[0], data.edge_index[1], data.num_nodes,
+        sizes=[10, 10], batch_size=batch_size,
+        seed_nodes=train_nodes, seed=0, materialize_features=False)
+
+    def epoch(ld, params, opt):
+        losses = []
+        t0 = time.perf_counter()
+        for i, buf in enumerate(ld.iter_packed()):
+            if i >= max_batches:
+                break
+            params, opt, loss = train_step(params, opt, buf, x_dev,
+                                           y_dev)
+            losses.append(loss)
+        losses = [float(l) for l in losses]
+        return time.perf_counter() - t0, losses, params, opt
+
+    serial_s = float("inf")
+    secs = float("inf")
+    first_loss = None
+    for _ in range(2):
+        s1, l1, params, opt = epoch(serial_loader, params, opt)
+        serial_s = min(serial_s, s1)
+        if first_loss is None:
+            first_loss = l1[0]
+        s2, losses, params, opt = epoch(loader, params, opt)
+        secs = min(secs, s2)
+    # loss gate across the whole 4-epoch run (later epochs hover at
+    # the converged level)
+    assert losses[-1] < first_loss, \
+        f"sampled SAGE loss did not decrease: {first_loss} -> " \
+        f"{losses[-1]}"
+    losses = [first_loss] + losses
     return emit("reddit_sage_sampled_epoch", secs, None, {
         "batches": len(losses), "batch_size": batch_size,
         "sampler_nodes_per_s": round(sampler_nodes_per_s, 0),
         "sampler_only_s": round(sampler_s, 3),
         "device_only_s": round(device_s, 3),
-        "serial_sum_s": round(sampler_s + device_s, 3),
-        "max_bound_s": round(max(sampler_s, device_s), 3),
-        "sampling_hidden_frac": round(hidden, 3),
+        "serial_epoch_s": round(serial_s, 3),
+        "pipelined_vs_serial": round(serial_s / max(secs, 1e-9), 3),
         "prefetch": 4,
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),

@@ -161,3 +161,44 @@ def test_prefetch_early_abandon_shuts_down():
     import time
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_packed_batches_roundtrip():
+    """iter_packed yields one buffer per batch; unpack inside jit
+    reconstructs exactly the per-leaf batch stream."""
+    import jax
+
+    rng = np.random.default_rng(6)
+    N, E = 600, 5000
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+
+    def make(prefetch):
+        return NeighborSampler(src, dst, N, sizes=[4, 4],
+                               batch_size=64, seed=3,
+                               materialize_features=False,
+                               prefetch=prefetch)
+
+    plain = list(make(0))
+    loader = make(2)
+
+    @jax.jit
+    def unpack(buf):
+        g = loader.unpack(buf)
+        return g.senders, g.receivers, g.extras["local_to_global"], \
+            g.extras["seed_mask"], g.edge_mask
+
+    packed = list(loader.iter_packed())
+    assert len(packed) == len(plain)
+    for buf, g in zip(packed, plain):
+        s, r, l2g, sm, em = unpack(buf)
+        np.testing.assert_array_equal(np.asarray(s),
+                                      np.asarray(g.senders))
+        np.testing.assert_array_equal(np.asarray(r),
+                                      np.asarray(g.receivers))
+        np.testing.assert_array_equal(
+            np.asarray(l2g), np.asarray(g.extras["local_to_global"]))
+        np.testing.assert_array_equal(
+            np.asarray(sm), np.asarray(g.extras["seed_mask"]))
+        np.testing.assert_array_equal(np.asarray(em),
+                                      np.asarray(g.edge_mask))
