@@ -117,14 +117,28 @@ def pack_sorted(senders, receivers, num_nodes, *, tile=256, rows=256):
         tile_first=np.asarray(t_first, np.int32))
 
 
-def _scatter_kernel(rows, tile, compute_dtype, block_ref, first_ref,
-                    msgs_ref, ldst_ref, out_ref):
+def _scatter_kernel(rows, tile, compute_dtype, out_t, block_ref,
+                    first_ref, msgs_ref, ldst_ref, cols_ref, out_ref):
+    from pytorch_geometric_tpu.ops.kernel_util import edge_onehot
+
     t = pl.program_id(1)
     ld = ldst_ref[t % 8, :]
-    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 0)
-    scat = (rr == ld[None, :]).astype(compute_dtype)
-    contrib = jax.lax.dot(scat, msgs_ref[...].astype(compute_dtype),
-                          preferred_element_type=jnp.float32)
+    # (tile, rows) one-hot with the HOISTED column iota (round-2
+    # lesson: the in-kernel 32-bit iota costs as much as the compare)
+    scat = edge_onehot(ld, cols_ref, tile, rows, dtype=compute_dtype)
+    m = msgs_ref[...].astype(compute_dtype)
+    if out_t:
+        # lane-compact transposed out for narrow F (round-4 lesson:
+        # a (rows, F<=64) block pads its minor dim to 128 lanes; the
+        # (F8, rows) block is compact) — same contraction, operands
+        # swapped, zero extra kernel work
+        contrib = jax.lax.dot_general(
+            m[:, :out_t], scat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (out_t, rows)
+    else:
+        contrib = jax.lax.dot_general(
+            scat, m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (rows, f_tile)
 
     @pl.when(first_ref[t] == 1)
     def _():
@@ -137,34 +151,46 @@ def _scatter_kernel(rows, tile, compute_dtype, block_ref, first_ref,
 
 def _scatter_tiles(msgs_packed, local_dst, tile_block, tile_first, *,
                    rows, tile, n_blocks, f_tile,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, out_rows=None):
+    from pytorch_geometric_tpu.ops.kernel_util import iota_rows
+
     T = tile_block.shape[0]
     fp = msgs_packed.shape[1]
     n_ft = fp // f_tile
+    if out_rows is not None:
+        assert n_ft == 1 and rows % 128 == 0
+        out_specs = pl.BlockSpec(
+            (out_rows, rows), lambda j, t, blk, first: (0, blk[t]))
+        out_shape = jax.ShapeDtypeStruct(
+            (out_rows, n_blocks * rows), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec(
+            (rows, f_tile), lambda j, t, blk, first: (blk[t], j))
+        out_shape = jax.ShapeDtypeStruct((n_blocks * rows, fp),
+                                         jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_ft, T),
         in_specs=[
             pl.BlockSpec((tile, f_tile), lambda j, t, blk, first: (t, j)),
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
+            pl.BlockSpec((8, rows), lambda j, t, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (rows, f_tile), lambda j, t, blk, first: (blk[t], j)),
+        out_specs=out_specs,
     )
     kernel = functools.partial(_scatter_kernel, rows, tile,
-                               compute_dtype)
+                               compute_dtype, out_rows)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * rows, fp),
-                                       jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * T * tile * rows * fp,
             bytes_accessed=T * tile * (fp * 4 + 4) + n_blocks * rows * fp
             * 4,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
-    )(tile_block, tile_first, msgs_packed, local_dst)
+    )(tile_block, tile_first, msgs_packed, local_dst, iota_rows(rows))
 
 
 class SortedSpmm:
@@ -205,13 +231,24 @@ class SortedSpmm:
             [weights.astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
         w_packed = jnp.take(w_ext, jnp.minimum(dv["perm"], pk.num_edges))
         w_packed = jnp.where(dv["perm"] == pk.num_edges, 0.0, w_packed)
-        msgs = jnp.take(x, dv["senders_packed"], axis=0) \
-            * w_packed[:, None]
+        # bf16 messages halve the per-tile DMA when the caller opted
+        # into bf16 compute (the MXU consumes bf16 anyway; the one-hot
+        # accumulation stays f32)
+        mdt = jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 \
+            else jnp.float32
+        msgs = (jnp.take(x, dv["senders_packed"], axis=0)
+                * w_packed[:, None]).astype(mdt)
+        # lane-compact transposed out for narrow F (round-4 lesson)
+        out_rows = _round_up(F, 8) if (
+            F <= 64 and pk.rows % 128 == 0 and fp == self.f_tile) \
+            else None
         out = _scatter_tiles(
-            msgs.astype(jnp.float32), dv["local_dst"], dv["tile_block"],
+            msgs, dv["local_dst"], dv["tile_block"],
             dv["tile_first"], rows=pk.rows, tile=pk.tile,
             n_blocks=pk.num_row_blocks, f_tile=self.f_tile,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, out_rows=out_rows)
+        if out_rows is not None:
+            return out[:F, :N].T
         return out[:N, :F]
 
     def __call__(self, weights, x):

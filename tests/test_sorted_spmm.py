@@ -112,3 +112,30 @@ def test_hybrid_spmm_matches_dense(rng):
     want_gx = 2 * a.T @ (a @ x)
     np.testing.assert_allclose(np.asarray(g[1]), want_gx, rtol=1e-3,
                                atol=1e-3)
+
+
+def test_sorted_bf16_transposed_out_parity(rng):
+    """Round-5: bf16 messages + lane-compact transposed out (F<=64)
+    match the f32 reference within bf16 tolerance, fwd and grads."""
+    import jax
+
+    n, e, f = 300, 2000, 16
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    op16 = SortedSpmm(s, r, n, tile=128, rows=128,
+                      compute_dtype=jnp.bfloat16)
+    op32 = SortedSpmm(s, r, n, tile=128, rows=128)
+    out16 = np.asarray(op16(jnp.asarray(w), jnp.asarray(x)))
+    out32 = np.asarray(op32(jnp.asarray(w), jnp.asarray(x)))
+    sc = 1 + np.abs(out32).max()
+    np.testing.assert_allclose(out16 / sc, out32 / sc, atol=2e-2)
+
+    g16 = jax.grad(lambda xx: jnp.sum(
+        op16(jnp.asarray(w), xx) ** 2))(jnp.asarray(x))
+    g32 = jax.grad(lambda xx: jnp.sum(
+        op32(jnp.asarray(w), xx) ** 2))(jnp.asarray(x))
+    gs = 1 + np.abs(np.asarray(g32)).max()
+    np.testing.assert_allclose(np.asarray(g16) / gs,
+                               np.asarray(g32) / gs, atol=2e-2)
