@@ -94,6 +94,12 @@ def _bind(lib):
             _I64, _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             _I32, _I32, _I32, _I32, _I32, _I32]
+        lib.pack_edges_asym.restype = ctypes.c_int64
+        lib.pack_edges_asym.argtypes = [
+            _I64, _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            _I32, _I32, _I32, _I32, _I32, _I32]
         return lib
 
 

@@ -293,21 +293,23 @@ int64_t sample_neighbors(const int64_t* indptr, const int64_t* indices,
 //   local_dst   (max_tiles * tile) int64
 //   tile_src_win / tile_dst_win / tile_first (max_tiles) int64
 // ---------------------------------------------------------------------------
-int64_t pack_edges_bi(const int64_t* senders, const int64_t* receivers,
-                      int64_t num_edges, int64_t num_src_nodes,
-                      int64_t num_dst_nodes,
-                      int64_t window, int64_t tile, int64_t max_tiles,
-                      int32_t* perm, int32_t* local_src,
-                      int32_t* local_dst, int32_t* tile_src_win,
-                      int32_t* tile_dst_win, int32_t* tile_first) {
+int64_t pack_edges_asym(const int64_t* senders, const int64_t* receivers,
+                        int64_t num_edges, int64_t num_src_nodes,
+                        int64_t num_dst_nodes,
+                        int64_t window_src, int64_t window_dst,
+                        int64_t tile, int64_t max_tiles,
+                        int32_t* perm, int32_t* local_src,
+                        int32_t* local_dst, int32_t* tile_src_win,
+                        int32_t* tile_dst_win, int32_t* tile_first) {
   // perm == nullptr: count-only mode (callers size the outputs exactly
   // and avoid first-touch page faults on a worst-case allocation).
-  // Bipartite: senders index a num_src_nodes domain, receivers a
-  // num_dst_nodes domain (round-5: the halo-partition and dense-block
-  // builder packs; the square case passes the same value twice).
+  // Bipartite domains AND asymmetric windows: a WIDE source window
+  // merges the scattered regime's sub-tile buckets while the NARROW
+  // destination window keeps the kernel's out-block accumulation
+  // small (round-5 sparse-tail lever).
   const bool count_only = perm == nullptr;
-  const int64_t n_sw = (num_src_nodes + window - 1) / window;
-  const int64_t n_dw = (num_dst_nodes + window - 1) / window;
+  const int64_t n_sw = (num_src_nodes + window_src - 1) / window_src;
+  const int64_t n_dw = (num_dst_nodes + window_dst - 1) / window_dst;
   const int64_t n_keys = n_dw * n_sw;
   // stable counting sort of edge ids by key = dw * n_sw + sw
   std::vector<int64_t> count(n_keys + 1, 0);
@@ -318,8 +320,8 @@ int64_t pack_edges_bi(const int64_t* senders, const int64_t* receivers,
     return v < 0 ? (int64_t)0 : (v > m ? m : v);
   };
   for (int64_t e = 0; e < num_edges; ++e) {
-    key[e] = (clamp_to(receivers[e], max_dst) / window) * n_sw
-             + clamp_to(senders[e], max_src) / window;
+    key[e] = (clamp_to(receivers[e], max_dst) / window_dst) * n_sw
+             + clamp_to(senders[e], max_src) / window_src;
     count[key[e] + 1]++;
   }
   std::partial_sum(count.begin(), count.end(), count.begin());
@@ -347,8 +349,8 @@ int64_t pack_edges_bi(const int64_t* senders, const int64_t* receivers,
       for (int64_t i = 0; i < cnt; ++i) {
         const int64_t e = order[start + i];
         pp[i] = (int32_t)e;
-        ps[i] = (int32_t)(clamp_to(senders[e], max_src) % window);
-        pd[i] = (int32_t)(clamp_to(receivers[e], max_dst) % window);
+        ps[i] = (int32_t)(clamp_to(senders[e], max_src) % window_src);
+        pd[i] = (int32_t)(clamp_to(receivers[e], max_dst) % window_dst);
       }
       for (int64_t i = cnt; i < tile; ++i) {
         pp[i] = (int32_t)num_edges;
@@ -379,6 +381,19 @@ int64_t pack_edges_bi(const int64_t* senders, const int64_t* receivers,
     ++T;
   }
   return T;
+}
+
+int64_t pack_edges_bi(const int64_t* senders, const int64_t* receivers,
+                      int64_t num_edges, int64_t num_src_nodes,
+                      int64_t num_dst_nodes,
+                      int64_t window, int64_t tile, int64_t max_tiles,
+                      int32_t* perm, int32_t* local_src,
+                      int32_t* local_dst, int32_t* tile_src_win,
+                      int32_t* tile_dst_win, int32_t* tile_first) {
+  return pack_edges_asym(senders, receivers, num_edges, num_src_nodes,
+                         num_dst_nodes, window, window, tile,
+                         max_tiles, perm, local_src, local_dst,
+                         tile_src_win, tile_dst_win, tile_first);
 }
 
 int64_t pack_edges(const int64_t* senders, const int64_t* receivers,

@@ -71,14 +71,20 @@ class BlockStructure:
 
     def __init__(self, senders, receivers, num_nodes, *,
                  window: int = 1024, dense_threshold: int = 1024,
-                 sparse_tile: int = None, compute_dtype=jnp.bfloat16):
+                 sparse_tile: int = None, compute_dtype=jnp.bfloat16,
+                 sparse_window_src: int = None):
         """``sparse_tile=None`` auto-selects from the remainder's mean
         bucket occupancy: scattered graphs whose (src, dst)-window
         buckets hold well under one 256-edge tile pay up to ~5.5x pad
         inflation there; tile=128 halves the padding AND the per-tile
         build/dot cost (measured on the 8M-edge adversarial graph:
         8.76 -> 6.18 ns/edge, 0.77 of the random-access ceiling —
-        round 5, VERDICT item 1)."""
+        round 5, VERDICT item 1).
+
+        ``sparse_window_src``: asymmetric remainder windows — a WIDER
+        source window for the packed sparse path (dst stays at
+        ``window``), merging scattered sub-tile buckets without
+        growing the kernel's out-block accumulation."""
         senders = np.asarray(senders, dtype=np.int64)
         receivers = np.asarray(receivers, dtype=np.int64)
         E = senders.shape[0]
@@ -135,10 +141,13 @@ class BlockStructure:
             sparse_tile = 128 if mean_occ <= 96 else 256
         self.sparse_tile = sparse_tile
         if len(sparse_idx):
+            sw = window if sparse_window_src is None \
+                else int(sparse_window_src)
             self.sparse = SpmmOperator(
                 senders[sparse_idx], receivers[sparse_idx], N,
-                window=window, tile=sparse_tile,
-                compute_dtype=compute_dtype, light=True)
+                window=sw, tile=sparse_tile,
+                compute_dtype=compute_dtype, light=True,
+                window_dst=None if sw == window else window)
 
     @property
     def flop_inflation(self) -> float:
@@ -271,12 +280,14 @@ class BlockSpmm:
     def __init__(self, senders, receivers, num_nodes, weights, *,
                  window: int = 1024, dense_threshold: int = 1024,
                  sparse_tile: int = None, compute_dtype=jnp.bfloat16,
-                 structure: BlockStructure = None):
+                 structure: BlockStructure = None,
+                 sparse_window_src: int = None):
         if structure is None:
             structure = BlockStructure(
                 senders, receivers, num_nodes, window=window,
                 dense_threshold=dense_threshold,
-                sparse_tile=sparse_tile, compute_dtype=compute_dtype)
+                sparse_tile=sparse_tile, compute_dtype=compute_dtype,
+                sparse_window_src=sparse_window_src)
         st = structure
         self.structure = st
         self.num_nodes = st.num_nodes

@@ -30,11 +30,14 @@ def edge_onehot(locals_i32, cols_ref, tile: int, window: int,
     """(tile, window) one-hot of per-edge window-local indices.
 
     ``locals_i32``: (tile,) int32 window-local slots in [0, window).
-    ``cols_ref``: the (8, window) int32 block from :func:`iota_rows`.
-    Padding slots may hold any in-range value — callers zero their
-    contribution via edge weights / masks, not via the one-hot.
+    ``cols_ref``: an (8, >= window) int32 block from :func:`iota_rows`
+    (asymmetric-window kernels share one iota sized to the wider
+    window and slice here).  Padding slots may hold any in-range value
+    — callers zero their contribution via edge weights / masks, not
+    via the one-hot.
     """
-    return (locals_i32[:, None] == cols_ref[0:1, :]).astype(dtype)
+    return (locals_i32[:, None]
+            == cols_ref[0:1, :window]).astype(dtype)
 
 
 def onehot_blocks(locals_2d, tile: int, window: int,

@@ -61,6 +61,16 @@ class WindowedPack:
     tile_src_win: np.ndarray = field(repr=False)
     tile_dst_win: np.ndarray = field(repr=False)
     tile_first: np.ndarray = field(repr=False)
+    #: destination-window size; None = same as ``window`` (asymmetric
+    #: windows are the round-5 scattered-tail lever: wide source
+    #: windows merge sub-tile buckets, the narrow dst window keeps the
+    #: kernel's out-block accumulation small)
+    window_dst: int = None
+
+    @property
+    def dst_window(self) -> int:
+        return self.window if self.window_dst is None \
+            else self.window_dst
 
     @property
     def num_tiles(self) -> int:
@@ -73,7 +83,7 @@ class WindowedPack:
 
 
 def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
-                 native=True, num_dst_nodes=None):
+                 native=True, num_dst_nodes=None, window_dst=None):
     """Bucket edges by (src window, dst window); pad buckets to ``tile``.
 
     Returns a :class:`WindowedPack`.  Empty (window, window) buckets cost
@@ -95,21 +105,22 @@ def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     E = senders.shape[0]
+    wd = window if window_dst is None else int(window_dst)
     n_src_w = max(_cdiv(num_nodes, window), 1)
     bipartite = num_dst_nodes is not None
     n_dst_w = max(_cdiv(num_dst_nodes if bipartite else num_nodes,
-                        window), 1)
+                        wd), 1)
 
     if native and E:
         pk = _pack_windows_native(
             senders, receivers, num_nodes,
             num_dst_nodes if bipartite else num_nodes, E,
-            n_src_w, n_dst_w, window, tile)
+            n_src_w, n_dst_w, window, wd, tile)
         if pk is not None:
             return pk
 
     sw = senders // window
-    dw = receivers // window
+    dw = receivers // wd
     # Sort by (dst window, src window) so dst-window revisits are
     # consecutive (Pallas requires monotone output-block visits for
     # accumulation), and src windows within a dst window are grouped
@@ -137,7 +148,7 @@ def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
         lsrc = np.zeros(padded, dtype=np.int32)
         ldst = np.zeros(padded, dtype=np.int32)
         lsrc[:cnt] = (senders[order[s:e]] % window).astype(np.int32)
-        ldst[:cnt] = (receivers[order[s:e]] % window).astype(np.int32)
+        ldst[:cnt] = (receivers[order[s:e]] % wd).astype(np.int32)
         n_tiles_here = padded // tile
         this_dw = int(dw_s[s])
         this_sw = int(sw_s[s])
@@ -183,12 +194,14 @@ def pack_windows(senders, receivers, num_nodes, *, window=256, tile=256,
         tile_src_win=np.asarray(t_sw, dtype=np.int32),
         tile_dst_win=np.asarray(t_dw, dtype=np.int32),
         tile_first=np.asarray(t_first, dtype=np.int32),
+        window_dst=None if window_dst is None else wd,
     )
 
 
 def _pack_windows_native(senders, receivers, num_nodes, num_dst_nodes,
-                         E, n_src_w, n_dst_w, window, tile):
-    """Native pack_edges_bi call; None when the library is
+                         E, n_src_w, n_dst_w, window, window_dst,
+                         tile):
+    """Native pack_edges_asym call; None when the library is
     unavailable."""
     from pytorch_geometric_tpu.cluster._native import (
         as_i64,
@@ -202,10 +215,10 @@ def _pack_windows_native(senders, receivers, num_nodes, num_dst_nodes,
     s64, r64 = as_i64(senders), as_i64(receivers)
     # count-only pass sizes the outputs exactly (a worst-case
     # allocation costs more in first-touch page faults than the pack)
-    T = lib.pack_edges_bi(ptr_i64(s64), ptr_i64(r64), E,
-                          int(num_nodes), int(num_dst_nodes),
-                          window, tile, 0, None, None, None, None,
-                          None, None)
+    T = lib.pack_edges_asym(ptr_i64(s64), ptr_i64(r64), E,
+                            int(num_nodes), int(num_dst_nodes),
+                            window, window_dst, tile, 0, None, None,
+                            None, None, None, None)
     if T <= 0:
         return None
     import ctypes
@@ -220,12 +233,12 @@ def _pack_windows_native(senders, receivers, num_nodes, num_dst_nodes,
     t_sw = np.empty(T, np.int32)
     t_dw = np.empty(T, np.int32)
     t_first = np.empty(T, np.int32)
-    T = lib.pack_edges_bi(ptr_i64(s64), ptr_i64(r64), E,
-                          int(num_nodes), int(num_dst_nodes),
-                          window, tile, T,
-                          ptr_i32(perm), ptr_i32(lsrc), ptr_i32(ldst),
-                          ptr_i32(t_sw), ptr_i32(t_dw),
-                          ptr_i32(t_first))
+    T = lib.pack_edges_asym(ptr_i64(s64), ptr_i64(r64), E,
+                            int(num_nodes), int(num_dst_nodes),
+                            window, window_dst, tile, T,
+                            ptr_i32(perm), ptr_i32(lsrc),
+                            ptr_i32(ldst), ptr_i32(t_sw),
+                            ptr_i32(t_dw), ptr_i32(t_first))
     if T < 0:
         return None
     return WindowedPack(
@@ -238,4 +251,5 @@ def _pack_windows_native(senders, receivers, num_nodes, num_dst_nodes,
         tile_src_win=t_sw,
         tile_dst_win=t_dw,
         tile_first=t_first,
+        window_dst=None if window_dst == window else window_dst,
     )

@@ -53,7 +53,7 @@ def spmm(senders, receivers, x, num_nodes, weights=None, reduce="sum",
 # Pallas windowed one-hot SpMM
 # ---------------------------------------------------------------------------
 
-def _spmm_kernel(window, tile, compute_dtype, out_t,
+def _spmm_kernel(window, tile, compute_dtype, out_t, window_dst,
                  src_w_ref, dst_w_ref, first_ref,   # scalar prefetch
                  x_ref, lsrc_ref, ldst_ref, w_ref,  # tensor inputs
                  cols_ref, out_ref):
@@ -79,8 +79,9 @@ def _spmm_kernel(window, tile, compute_dtype, out_t,
     lsrc = lsrc_ref[row, :]                    # (tile,)
     ldst = ldst_ref[row, :]
     w = w_ref[row, :]
+    wd = window if window_dst is None else window_dst
     gat = edge_onehot(lsrc, cols_ref, tile, window, dtype=compute_dtype)
-    scat = edge_onehot(ldst, cols_ref, tile, window, dtype=compute_dtype)
+    scat = edge_onehot(ldst, cols_ref, tile, wd, dtype=compute_dtype)
     gathered = jax.lax.dot(gat, x_ref[:].astype(compute_dtype),
                            preferred_element_type=jnp.float32)
     gathered = (gathered * w[:, None]).astype(compute_dtype)
@@ -111,28 +112,34 @@ def _spmm_kernel(window, tile, compute_dtype, out_t,
 def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
                      tile_src_win, tile_dst_win, tile_first,
                      *, window, tile, n_dst_windows, f_tile,
-                     compute_dtype=jnp.float32, out_rows=None):
+                     compute_dtype=jnp.float32, out_rows=None,
+                     window_dst=None):
     """Invoke the Pallas kernel.  x_pad: (n_src_windows*window, Fp).
 
     ``out_rows``: emit the lane-compact TRANSPOSED (out_rows, N)
     output instead of (N, f_tile) — for narrow F (requires one f
-    block, i.e. fp == f_tile, and window % 128 == 0)."""
+    block, i.e. fp == f_tile, and the dst window % 128 == 0).
+    ``window_dst``: asymmetric windows — source slabs at ``window``
+    rows, output blocks at ``window_dst`` rows (the round-5 scattered
+    tail lever: wide src windows merge sub-tile buckets, the narrow
+    dst window keeps the out-block accumulation small)."""
     T = tile_src_win.shape[0]  # real tile count (w_packed rows padded to 8)
     fp = x_pad.shape[1]
     n_ft = fp // f_tile
+    wd = window if window_dst is None else window_dst
     if out_rows is not None:
-        assert n_ft == 1 and window % 128 == 0
+        assert n_ft == 1 and wd % 128 == 0
         out_specs = pl.BlockSpec(
-            (out_rows, window),
+            (out_rows, wd),
             lambda j, t, srcw, dstw, first: (0, dstw[t]))
         out_shape = jax.ShapeDtypeStruct(
-            (out_rows, n_dst_windows * window), jnp.float32)
+            (out_rows, n_dst_windows * wd), jnp.float32)
     else:
         out_specs = pl.BlockSpec(
-            (window, f_tile),
+            (wd, f_tile),
             lambda j, t, srcw, dstw, first: (dstw[t], j))
         out_shape = jax.ShapeDtypeStruct(
-            (n_dst_windows * window, fp), jnp.float32)
+            (n_dst_windows * wd, fp), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_ft, T),
@@ -142,25 +149,28 @@ def _spmm_pallas_raw(x_pad, w_packed, local_src, local_dst,
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
             pl.BlockSpec((8, tile), lambda j, t, *_: (t // 8, 0)),
-            pl.BlockSpec((8, window), lambda j, t, *_: (0, 0)),
+            pl.BlockSpec((8, max(window, wd)),
+                         lambda j, t, *_: (0, 0)),
         ],
         out_specs=out_specs,
     )
     kernel = functools.partial(_spmm_kernel, window, tile,
-                               compute_dtype, out_rows)
-    flops = 2 * 2 * T * tile * window * fp
+                               compute_dtype, out_rows,
+                               None if wd == window else wd)
+    flops = 2 * T * tile * (window + wd) * fp
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=T * (tile * 12 + window * fp * 8),
+            bytes_accessed=T * (tile * 12 + (window + wd) * fp * 4),
             transcendentals=0),
         # Tests run on a virtual CPU mesh; Mosaic only targets TPU.
         interpret=jax.default_backend() != "tpu",
     )(tile_src_win, tile_dst_win, tile_first,
-      x_pad, local_src, local_dst, w_packed, iota_rows(window))
+      x_pad, local_src, local_dst, w_packed,
+      iota_rows(max(window, wd)))
 
 
 class SpmmOperator:
@@ -177,12 +187,17 @@ class SpmmOperator:
     """
 
     def __init__(self, senders, receivers, num_nodes, *, window=256,
-                 tile=256, compute_dtype=jnp.float32, light=False):
+                 tile=256, compute_dtype=jnp.float32, light=False,
+                 window_dst=None):
         """``light=True`` skips uploading the edge id permutation and
         edge endpoint lists to the device — only the static-weight
         entry points (:meth:`bind`, :meth:`bind_external` with host
         weight packing) work then, but a 100M-edge operator saves
-        ~1.5 GB of device tables and their transfer time."""
+        ~1.5 GB of device tables and their transfer time.
+
+        ``window_dst``: asymmetric windows — source slabs at
+        ``window`` rows, output blocks at ``window_dst`` (the backward
+        pack swaps the pair).  Round-5 scattered-tail lever."""
         self.compute_dtype = compute_dtype
         if tile % 128:
             raise ValueError(f"tile must be a multiple of 128, got {tile}")
@@ -191,6 +206,8 @@ class SpmmOperator:
         senders = np.asarray(senders)
         receivers = np.asarray(receivers)
         self.window, self.tile = window, tile
+        self.window_dst = window_dst
+        wd = window if window_dst is None else int(window_dst)
         self.num_nodes = int(num_nodes)
         self.light = bool(light)
         # fwd/bwd packs run concurrently: the native counting sort
@@ -198,9 +215,12 @@ class SpmmOperator:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(2) as ex:
             f_fwd = ex.submit(pack_windows, senders, receivers,
-                              num_nodes, window=window, tile=tile)
+                              num_nodes, window=window, tile=tile,
+                              window_dst=window_dst)
             f_bwd = ex.submit(pack_windows, receivers, senders,
-                              num_nodes, window=window, tile=tile)
+                              num_nodes, window=wd, tile=tile,
+                              window_dst=(None if window_dst is None
+                                          else window))
             self.fwd = f_fwd.result()
             self.bwd = f_bwd.result()
         if not light:
@@ -219,7 +239,7 @@ class SpmmOperator:
             # int16 local indices (< window <= 32767) halve the H2D
             # table transfer; consumers widen to int32 in-jit before
             # the kernel (~0.1 ms per call)
-            idt = np.int16 if window <= 32767 else np.int32
+            idt = np.int16 if max(window, wd) <= 32767 else np.int32
             self._dev[name] = dict(
                 local_src=jnp.asarray(
                     pad_rows(pk.local_src).astype(idt)),
@@ -269,7 +289,8 @@ class SpmmOperator:
         x_pad = x_pad.at[:N, :F].set(x.astype(xdt))
         # lane-compact transposed out for narrow F (out_t lesson)
         out_rows = _round_up(F, 8) if (
-            F <= 64 and pk.window % 128 == 0 and fp == f_tile) else None
+            F <= 64 and pk.dst_window % 128 == 0 and fp == f_tile) \
+            else None
         out = _spmm_pallas_raw(
             x_pad, w_packed,
             dv["local_src"].astype(jnp.int32),
@@ -277,7 +298,8 @@ class SpmmOperator:
             dv["tile_src_win"], dv["tile_dst_win"], dv["tile_first"],
             window=pk.window, tile=pk.tile,
             n_dst_windows=pk.num_dst_windows, f_tile=f_tile,
-            compute_dtype=self.compute_dtype, out_rows=out_rows)
+            compute_dtype=self.compute_dtype, out_rows=out_rows,
+            window_dst=pk.window_dst)
         if out_rows is not None:
             return out[:F, :N].T
         return out[:N, :F]
@@ -323,7 +345,8 @@ class SpmmOperator:
             self.window, self.tile, self.num_nodes,
             self.fwd.num_src_windows, self.fwd.num_dst_windows,
             self.bwd.num_src_windows, self.bwd.num_dst_windows,
-            "bf16" if self.compute_dtype == jnp.bfloat16 else "f32")
+            "bf16" if self.compute_dtype == jnp.bfloat16 else "f32",
+            self.window_dst)
         return functools.partial(spmm_static, geom), consts
 
     def bind(self, weights):
@@ -393,9 +416,9 @@ class SpmmGeom(tuple):
 
     @staticmethod
     def make(window, tile, num_nodes, nsw_f, ndw_f, nsw_b, ndw_b,
-             compute):
+             compute, window_dst=None):
         return SpmmGeom((window, tile, num_nodes, nsw_f, ndw_f, nsw_b,
-                         ndw_b, compute))
+                         ndw_b, compute, window_dst))
 
     window = property(lambda s: s[0])
     tile = property(lambda s: s[1])
@@ -405,26 +428,32 @@ class SpmmGeom(tuple):
     nsw_b = property(lambda s: s[5])
     ndw_b = property(lambda s: s[6])
     compute = property(lambda s: s[7])
+    window_dst = property(lambda s: s[8] if len(s) > 8 else None)
 
 
 def _apply_dir(geom: SpmmGeom, t: dict, x, *, fwd: bool):
     n_src = geom.nsw_f if fwd else geom.nsw_b
     n_dst = geom.ndw_f if fwd else geom.ndw_b
+    # asymmetric windows: the bwd direction swaps the (src, dst) pair
+    wd_cfg = geom.window_dst
+    w_in = geom.window if (fwd or wd_cfg is None) else wd_cfg
+    w_out = wd_cfg if (fwd and wd_cfg is not None) else geom.window
     N, F = geom.num_nodes, x.shape[1]
     f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
     fp = _round_up(F, f_tile)
     cdt = jnp.bfloat16 if geom.compute == "bf16" else jnp.float32
-    x_pad = jnp.zeros((n_src * geom.window, fp), cdt)
+    x_pad = jnp.zeros((n_src * w_in, fp), cdt)
     x_pad = x_pad.at[:N, :F].set(x.astype(cdt))
     out_rows = _round_up(F, 8) if (
-        F <= 64 and geom.window % 128 == 0 and fp == f_tile) else None
+        F <= 64 and w_out % 128 == 0 and fp == f_tile) else None
     out = _spmm_pallas_raw(
         x_pad, t["w"],
         t["local_src"].astype(jnp.int32),
         t["local_dst"].astype(jnp.int32),
         t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
-        window=geom.window, tile=geom.tile, n_dst_windows=n_dst,
-        f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows)
+        window=w_in, tile=geom.tile, n_dst_windows=n_dst,
+        f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows,
+        window_dst=None if w_out == w_in else w_out)
     if out_rows is not None:
         return out[:F, :N].T
     return out[:N, :F]

@@ -154,3 +154,25 @@ def test_auto_sparse_tile_selection(rng):
     st2 = BlockStructure(s2, r2, n, window=256,
                          dense_threshold=1_000_000)
     assert st2.sparse_tile == 256, st2.sparse_tile
+
+
+def test_asymmetric_sparse_window_parity(rng):
+    """sparse_window_src widens the remainder's source windows without
+    changing results (round-5 scattered-tail lever)."""
+    import jax
+
+    n, e = 2048, 40000
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    base = BlockSpmm(s, r, n, w, window=256, dense_threshold=5000,
+                     sparse_tile=128)
+    fn0, c0 = base.bind()
+    want = np.asarray(jax.jit(fn0)(c0, x))
+    asym = BlockSpmm(s, r, n, w, window=256, dense_threshold=5000,
+                     sparse_tile=128, sparse_window_src=512)
+    fn1, c1 = asym.bind()
+    got = np.asarray(jax.jit(fn1)(c1, x))
+    sc = 1 + np.abs(want).max()
+    np.testing.assert_allclose(got / sc, want / sc, atol=5e-3)

@@ -96,3 +96,36 @@ def test_spmm_bind_static_weights(rng):
     a = np.zeros((n, n)); np.add.at(a, (r, s), w)
     want = 2 * a.T @ (a @ np.asarray(x))
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-3, atol=1e-3)
+
+
+def test_asymmetric_windows_parity(rng):
+    """Round-5 scattered-tail lever: wide src window + narrow dst
+    window must be numerically identical to the symmetric operator,
+    fwd and grads, on both the closure and explicit-args paths."""
+    import jax
+
+    n, e, f = 900, 4000, 16
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    wj = jnp.asarray(w)
+
+    ref = SpmmOperator(s, r, n, window=256, tile=128)
+    want = np.asarray(ref(wj, x))
+    for ws, wd in ((512, 128), (512, 256), (128, 512)):
+        op = SpmmOperator(s, r, n, window=ws, tile=128, window_dst=wd)
+        got = np.asarray(op(wj, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # gradient (exercises the swapped bwd pack)
+        g_ref = jax.grad(lambda xx: jnp.sum(ref(wj, xx) ** 2))(x)
+        g = jax.grad(lambda xx: jnp.sum(op(wj, xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
+        # explicit-args static-weight path (the BlockSpmm remainder)
+        fn, consts = op.bind_external(w)
+        got2 = np.asarray(jax.jit(fn)(consts, x))
+        np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-4)
+        g2 = jax.grad(lambda xx: jnp.sum(fn(consts, xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
