@@ -134,11 +134,19 @@ class BlockStructure:
         self.sparse_edges = len(sparse_idx)
         self._sparse_edge_ids = sparse_idx
         self.sparse = None
+        n_sparse_buckets = int(
+            ((counts > 0) & (counts < dense_threshold)).sum())
+        mean_occ = self.sparse_edges / max(n_sparse_buckets, 1)
+        scattered = mean_occ <= 96
         if sparse_tile is None:
-            n_sparse_buckets = int(
-                ((counts > 0) & (counts < dense_threshold)).sum())
-            mean_occ = self.sparse_edges / max(n_sparse_buckets, 1)
-            sparse_tile = 128 if mean_occ <= 96 else 256
+            sparse_tile = 128 if scattered else 256
+        if sparse_window_src is None and scattered and N > 4 * window:
+            # scattered regime: a 4x-wide SOURCE window merges ~4
+            # sub-tile buckets per tile while the dst window (and the
+            # out-block accumulation) stays at ``window`` — measured
+            # 7.11 -> 5.25 ns/edge on the 8M-edge adversarial graph
+            # (~0.87 of the random-access ceiling; 8x-wide regresses)
+            sparse_window_src = 4 * window
         self.sparse_tile = sparse_tile
         if len(sparse_idx):
             sw = window if sparse_window_src is None \

@@ -62,8 +62,13 @@ class PartitionedSpmm:
     """
 
     def __init__(self, shards, w_local, w_remote, *, window: int = 1024,
-                 sparse_tile: int = 256, dense_threshold: int = 1024,
+                 sparse_tile: int = None, dense_threshold: int = 1024,
                  compute_dtype=jnp.bfloat16):
+        """``sparse_tile=None``: occupancy-adaptive like
+        ``BlockStructure`` — tile=128 when the local remainder's mean
+        bucket occupancy is in the scattered (sub-96-edge) regime, so
+        the halo path keeps pace with the single-chip kernels it is
+        anchored against (round 5)."""
         P = shards.num_devices
         S = shards.nodes_per_shard
         H = shards.halo_size
@@ -75,6 +80,24 @@ class PartitionedSpmm:
         self.compute_dtype = compute_dtype
         nw = max(_cdiv(S, window), 1)
         self.num_windows = nw
+
+        if sparse_tile is None:
+            # global occupancy estimate over all shards' local edges
+            occ_edges = occ_buckets = 0
+            for p in range(P):
+                lm = shards.loc_mask[p]
+                if not lm.any():
+                    continue
+                key_p = ((shards.loc_dst[p][lm].astype(np.int64)
+                          // window) * nw
+                         + shards.loc_src_row[p][lm] // window)
+                cnt = np.bincount(key_p, minlength=nw * nw)
+                sp = (cnt > 0) & (cnt < dense_threshold)
+                occ_buckets += int(sp.sum())
+                occ_edges += int(cnt[sp].sum())
+            mean_occ = occ_edges / max(occ_buckets, 1)
+            sparse_tile = 128 if mean_occ <= 96 else 256
+        self.sparse_tile = sparse_tile
 
         w_local = np.asarray(w_local, np.float32)
         w_remote = np.asarray(w_remote, np.float32)
