@@ -580,7 +580,7 @@ def bench_halo_scaling(n=65_536, e=1_000_000, f=64, communities=64):
             senders, receivers, n, P_dev, edge_weights=w,
             locality=False)  # graph is pre-clustered
         op = PartitionedSpmm(shards, wl_np, wr_np, window=1024,
-                             sparse_tile=256, dense_threshold=1024)
+                             sparse_tile=None, dense_threshold=1024)
         consts = op.bind()[1]
         leaves, treedef = jax.tree_util.tree_flatten(consts)
         mesh = make_mesh((P_dev,), ("graph",),

@@ -496,13 +496,16 @@ class BiSpmmGeom(tuple):
     __slots__ = ()
 
     @staticmethod
-    def make(window, tile, n_src_nodes, n_dst_nodes, compute):
+    def make(window, tile, n_src_nodes, n_dst_nodes, compute,
+             window_dst=None):
+        wd = window if window_dst is None else int(window_dst)
         return BiSpmmGeom((window, tile, int(n_src_nodes),
                            int(n_dst_nodes),
                            max(_round_up(int(n_src_nodes), window)
                                // window, 1),
-                           max(_round_up(int(n_dst_nodes), window)
-                               // window, 1), compute))
+                           max(_round_up(int(n_dst_nodes), wd)
+                               // wd, 1), compute,
+                           window_dst))
 
     window = property(lambda s: s[0])
     tile = property(lambda s: s[1])
@@ -511,12 +514,14 @@ class BiSpmmGeom(tuple):
     nsw = property(lambda s: s[4])
     ndw = property(lambda s: s[5])
     compute = property(lambda s: s[6])
+    window_dst = property(lambda s: s[7] if len(s) > 7 else None)
 
 
 def pack_bipartite_tables(senders, receivers, n_src, n_dst, weights, *,
                           window=256, tile=256,
                           compute_dtype=jnp.bfloat16,
-                          directions=("fwd", "bwd")):
+                          directions=("fwd", "bwd"),
+                          window_dst=None):
     """Host-side: build the (geom, consts) pair for
     :func:`spmm_bi_static`.  ``consts['fwd']`` maps src -> dst rows,
     ``consts['bwd']`` the transpose; weights are pre-packed into both
@@ -524,14 +529,17 @@ def pack_bipartite_tables(senders, receivers, n_src, n_dst, weights, *,
     ``directions=('fwd',)`` for forward-only consumers (no autodiff —
     e.g. the dense-block table builder) to halve the pack cost."""
     w = np.asarray(weights, np.float32)
+    wd = window if window_dst is None else int(window_dst)
     consts = {}
     both = (
-        ("fwd", (senders, receivers, n_src, n_dst)),
-        ("bwd", (receivers, senders, n_dst, n_src)))
-    for which, (s, r, ns, nd) in (
+        ("fwd", (senders, receivers, n_src, n_dst, window, wd)),
+        ("bwd", (receivers, senders, n_dst, n_src, wd, window)))
+    for which, (s, r, ns, nd, w_in, w_out) in (
             p for p in both if p[0] in directions):
         pk = pack_windows(np.asarray(s), np.asarray(r), ns,
-                          window=window, tile=tile, num_dst_nodes=nd)
+                          window=w_in, tile=tile, num_dst_nodes=nd,
+                          window_dst=(None if w_out == w_in
+                                      else w_out))
         T8 = _round_up(pk.num_tiles, 8)
 
         def pad_rows(a):
@@ -545,7 +553,7 @@ def pack_bipartite_tables(senders, receivers, n_src, n_dst, weights, *,
         # int16 local indices (values < window <= 32767): halves the
         # dominant H2D table transfer; _bi_apply widens to int32 in-jit
         # before the kernel (~0.1 ms of HBM traffic per call)
-        idt = np.int16 if window <= 32767 else np.int32
+        idt = np.int16 if max(window, wd) <= 32767 else np.int32
         consts[which] = {
             "local_src": pad_rows(pk.local_src).astype(idt),
             "local_dst": pad_rows(pk.local_dst).astype(idt),
@@ -556,7 +564,7 @@ def pack_bipartite_tables(senders, receivers, n_src, n_dst, weights, *,
         }
     geom = BiSpmmGeom.make(window, tile, n_src, n_dst,
                            "bf16" if compute_dtype == jnp.bfloat16
-                           else "f32")
+                           else "f32", window_dst)
     return geom, consts
 
 
@@ -610,21 +618,26 @@ def _bi_apply(geom: BiSpmmGeom, t: dict, x, *, fwd: bool):
     n_out = geom.n_dst if fwd else geom.n_src
     nsw = geom.nsw if fwd else geom.ndw
     ndw = geom.ndw if fwd else geom.nsw
+    # asymmetric windows: the bwd direction swaps the (src, dst) pair
+    wd_cfg = geom.window_dst
+    w_in = geom.window if (fwd or wd_cfg is None) else wd_cfg
+    w_out = wd_cfg if (fwd and wd_cfg is not None) else geom.window
     F = x.shape[1]
     f_tile = 128 if F > 128 else _round_up(max(F, 1), 128)
     fp = _round_up(F, f_tile)
     cdt = jnp.bfloat16 if geom.compute == "bf16" else jnp.float32
-    x_pad = jnp.zeros((nsw * geom.window, fp), cdt)
+    x_pad = jnp.zeros((nsw * w_in, fp), cdt)
     x_pad = x_pad.at[:n_in, :F].set(x.astype(cdt))
     out_rows = _round_up(F, 8) if (
-        F <= 64 and geom.window % 128 == 0 and fp == f_tile) else None
+        F <= 64 and w_out % 128 == 0 and fp == f_tile) else None
     out = _spmm_pallas_raw(
         x_pad, t["w"],
         t["local_src"].astype(jnp.int32),
         t["local_dst"].astype(jnp.int32),
         t["tile_src_win"], t["tile_dst_win"], t["tile_first"],
-        window=geom.window, tile=geom.tile, n_dst_windows=ndw,
-        f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows)
+        window=w_in, tile=geom.tile, n_dst_windows=ndw,
+        f_tile=f_tile, compute_dtype=cdt, out_rows=out_rows,
+        window_dst=None if w_out == w_in else w_out)
     if out_rows is not None:
         return out[:F, :n_out].T
     return out[:n_out, :F]

@@ -97,6 +97,13 @@ class PartitionedSpmm:
                 occ_edges += int(cnt[sp].sum())
             mean_occ = occ_edges / max(occ_buckets, 1)
             sparse_tile = 128 if mean_occ <= 96 else 256
+            # scattered regime: 4x-wide SOURCE windows for the local
+            # sparse pack (merges sub-tile buckets; dst/out-block
+            # stays at ``window`` — the BlockStructure lever)
+            self._lsp_window_src = 4 * window if (
+                mean_occ <= 96 and S > 4 * window) else window
+        else:
+            self._lsp_window_src = window
         self.sparse_tile = sparse_tile
 
         w_local = np.asarray(w_local, np.float32)
@@ -144,9 +151,11 @@ class PartitionedSpmm:
                 bsw = bdw = np.zeros(0, np.int32)
             dense_per_dev.append((blocks, bsw, bdw))
 
+            sw_wide = self._lsp_window_src
             geom, lsp = pack_bipartite_tables(
-                ls[~dm], ld[~dm], S, S, lw[~dm], window=window,
-                tile=sparse_tile, compute_dtype=compute_dtype)
+                ls[~dm], ld[~dm], S, S, lw[~dm], window=sw_wide,
+                tile=sparse_tile, compute_dtype=compute_dtype,
+                window_dst=None if sw_wide == window else window)
             lsp_geom = geom
             lsp_per_dev.append(lsp)
 
