@@ -459,6 +459,12 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
 
         def aggregate_fn(h):
             return op(norm_w, h)
+    elif backend == "fused":
+        # whole-forward fusion (round 5): both aggregations + the
+        # inter-layer elementwise in ONE pallas launch per direction —
+        # attacks the measured launch-floor bound (PERF.md)
+        return _bench_gcn_fullgraph_fused(dataset, epochs, K,
+                                          min_val_acc, min_test_acc)
     elif backend == "sorted":
         # sorted-CSR per-edge path (round-5, VERDICT item 5): XLA
         # gather in packed order + one-hot scatter with bf16 messages
@@ -554,6 +560,114 @@ def bench_citation_gcn_fullgraph(dataset: str, epochs: int = 200,
                 BASELINES[(dataset, "gcn")],
                 {"val_acc": round(val, 4), "test_acc": round(test, 4),
                  "K": K, "kernel": f"gcn_{backend}"},
+                synthetic=syn)
+
+
+def _bench_gcn_fullgraph_fused(dataset, epochs, K, min_val_acc,
+                               min_test_acc):
+    """FULL-GRAPH GCN with the fused 2-layer kernel: forward = ONE
+    pallas launch (both aggregations + bias/relu/dropout/W2 inside),
+    backward = one more — vs four separate aggregation launches on the
+    packed backend (the measured launch floor, PERF.md round 5)."""
+    import optax
+
+    from pytorch_geometric_tpu.data import from_data
+    from pytorch_geometric_tpu.datasets import Planetoid
+    from pytorch_geometric_tpu.models.citation import (
+        masked_accuracy, softmax_xent_int_labels)
+    from pytorch_geometric_tpu.nn.conv.gcn_conv import gcn_norm
+    from pytorch_geometric_tpu.ops.fused_gcn import FusedGcn2
+    from pytorch_geometric_tpu.transforms import NormalizeFeatures
+    from pytorch_geometric_tpu.utils.reorder import reorder_graph
+
+    ds = Planetoid("datasets_cache", dataset.capitalize(),
+                   transform=NormalizeFeatures())
+    graph = from_data(reorder_graph(ds[0]))
+    norm = gcn_norm(graph)
+    N = graph.num_nodes
+    H, C = 16, ds.num_classes
+    fused = FusedGcn2(np.asarray(norm.senders),
+                      np.asarray(norm.receivers), N,
+                      np.asarray(norm.weights), hidden=H, classes=C,
+                      window=1024, tile=256, dropout_rate=0.5)
+    Fin = graph.x.shape[1]
+    train_idx = jnp.asarray(
+        np.flatnonzero(np.asarray(graph.train_mask)), jnp.int32)
+    y_train = jnp.asarray(np.asarray(graph.y)[np.asarray(train_idx)])
+
+    rng = np.random.default_rng(0)
+    glorot1 = float(np.sqrt(6.0 / (Fin + H)))
+    glorot2 = float(np.sqrt(6.0 / (H + C)))
+    params0 = {
+        "W1": jnp.asarray(rng.uniform(-glorot1, glorot1,
+                                      (Fin, H)).astype(np.float32)),
+        "b1": jnp.zeros((H,), jnp.float32),
+        "W2": jnp.asarray(rng.uniform(-glorot2, glorot2,
+                                      (H, C)).astype(np.float32)),
+        "b2": jnp.zeros((C,), jnp.float32),
+    }
+    tx = optax.adam(0.01)
+    opt0 = tx.init(params0)
+    key = jax.random.key(0, impl="rbg")
+    xj = graph.x
+
+    def epoch_step(carry, _):
+        params, opt, key = carry
+        key, k0, k1 = jax.random.split(key, 3)
+        seed = jax.random.randint(k1, (), 0, 2 ** 31 - 1) \
+            .astype(jnp.float32)
+        keep0 = jax.random.bernoulli(k0, 0.5, xj.shape)
+
+        def loss_fn(p):
+            x_in = jnp.where(keep0, xj * 2.0, 0.0)
+            logits = fused(x_in @ p["W1"], p["W2"], p["b1"], seed) \
+                + p["b2"][None, :]
+            lg = jnp.take(logits, train_idx, axis=0)
+            loss = jnp.mean(softmax_xent_int_labels(lg, y_train))
+            wd = jnp.sum(p["W1"] ** 2) + jnp.sum(p["b1"] ** 2)
+            return loss + 5e-4 * wd
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, updates), opt, key), loss
+
+    # eval forward through the packed aggregate (rate 0), explicit-args
+    agg_fn, agg_consts = fused.op.bind_external(
+        np.asarray(norm.weights))
+
+    @jax.jit
+    def run(params, opt, key, consts):
+        def one(carry, i):
+            acc, p_keep, o_keep = carry
+            (p, o, _), losses = jax.lax.scan(
+                epoch_step, (params, opt, jax.random.fold_in(key, i)),
+                None, length=epochs)
+            return (acc + losses[-1], p, o), None
+        (acc, p, o), _ = jax.lax.scan(one, (0.0, params, opt),
+                                      jnp.arange(K))
+        h1 = jax.nn.relu(agg_fn(consts, xj @ p["W1"]) + p["b1"])
+        logits = agg_fn(consts, h1 @ p["W2"]) + p["b2"]
+        ev = {
+            "val_acc": masked_accuracy(logits, graph.y,
+                                       graph.val_mask),
+            "test_acc": masked_accuracy(logits, graph.y,
+                                        graph.test_mask),
+        }
+        return acc, ev
+
+    secs, (_, ev) = time_program(run, params0, opt0, key, agg_consts)
+    per = secs / K
+    val, test = float(ev["val_acc"]), float(ev["test_acc"])
+    min_val_acc, min_test_acc, syn = resolve_gates(
+        dataset, "gcn", ds, min_val_acc, min_test_acc)
+    assert val > min_val_acc and test > min_test_acc, \
+        f"{dataset} fused gcn acc too low: val={val} test={test} " \
+        f"(gates {min_val_acc}/{min_test_acc}, synthetic={syn})"
+    return emit(f"{dataset}_gcn_fullgraph_{epochs}epoch_wallclock", per,
+                BASELINES[(dataset, "gcn")],
+                {"val_acc": round(val, 4), "test_acc": round(test, 4),
+                 "K": K, "kernel": "gcn_fused2 (one pallas launch per "
+                 "direction)"},
                 synthetic=syn)
 
 
