@@ -489,9 +489,13 @@ def bench_halo_comm_model(anchor_recs, n=65_536, e=1_000_000, f=64,
     def model_points(s_, r_, n_, label):
         out = {}
         for P_dev in (4, 8, 32):
-            # host-only: shards + tables carry the exact byte counts
+            # host-only: shards + tables carry the exact byte counts.
+            # dtype_bytes=2: the fast halo path exchanges rows at the
+            # kernels' bf16 compute precision in BOTH directions
+            # (PartitionedSpmm.apply casts before the all_to_all and
+            # the backward cotangent matches the primal width)
             shards, _ = partition_graph(s_, r_, n_, P_dev)
-            stats = shards.comm_stats(f, dtype_bytes=4)
+            stats = shards.comm_stats(f, dtype_bytes=2)
             pred = GraphPartition.predict_scaling(
                 len(s_), f, stats["halo_bytes_padded_per_dev"],
                 P_dev, rate,

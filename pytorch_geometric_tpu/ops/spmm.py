@@ -651,13 +651,20 @@ def spmm_bi_static(geom: BiSpmmGeom, consts, x):
 
 
 def _spmm_bi_fwd(geom, consts, x):
-    return spmm_bi_static(geom, consts, x), consts
+    # zero-size residual carries the primal dtype (a bare np.dtype is
+    # not a JAX type)
+    return spmm_bi_static(geom, consts, x), \
+        (consts, jnp.zeros((0,), x.dtype))
 
 
-def _spmm_bi_bwd(geom, consts, g):
+def _spmm_bi_bwd(geom, res, g):
+    consts, x_proto = res
     dx = _bi_apply(geom, consts["bwd"], g.astype(jnp.float32),
                    fwd=False)
-    return (jax.tree_util.tree_map(jnp.zeros_like, consts), dx)
+    # the cotangent must match the primal dtype (bf16 halo rows cross
+    # the collective at bf16 in both directions)
+    return (jax.tree_util.tree_map(jnp.zeros_like, consts),
+            dx.astype(x_proto.dtype))
 
 
 spmm_bi_static.defvjp(_spmm_bi_fwd, _spmm_bi_bwd)

@@ -85,6 +85,7 @@ class GraphPartition:
         self.num_devices = int(num_devices)
         self.axis = "graph"
         self.num_relations = int(num_relations)
+        self.compute_dtype = compute_dtype
         if add_self_loops:
             # remove-then-add loop semantics, matching the single-chip
             # convs (gcn_conv/gat_conv mask pre-existing loops): a
@@ -152,8 +153,16 @@ class GraphPartition:
 
     # ---- communication accounting (VERDICT round 4, item 4) --------------
 
-    def comm_stats(self, feature_dim: int, dtype_bytes: int = 4) -> Dict:
-        """Exact per-step halo-exchange volume (GraphShards.comm_stats)."""
+    def comm_stats(self, feature_dim: int,
+                   dtype_bytes: int = None) -> Dict:
+        """Exact per-step halo-exchange volume (GraphShards.comm_stats).
+
+        ``dtype_bytes`` defaults to the width of ``compute_dtype`` —
+        the fast halo path exchanges rows at the kernels' compute
+        precision (bf16 by default: 2 bytes over the ICI in both
+        directions), so the accounting matches what actually moves."""
+        if dtype_bytes is None:
+            dtype_bytes = jnp.dtype(self.compute_dtype).itemsize
         return self.shards.comm_stats(feature_dim, dtype_bytes)
 
     @staticmethod

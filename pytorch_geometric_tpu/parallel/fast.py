@@ -216,10 +216,17 @@ class PartitionedSpmm:
         """Fast halo SpMM for one device's shard.  ``consts`` is this
         device's slice (leading P axis consumed by shard_map specs)."""
         S, F = x_local.shape
-        # halo exchange first so the collective overlaps the local work
+        # halo exchange first so the collective overlaps the local work.
+        # Rows cross the ICI in compute_dtype (bf16 by default): the
+        # consuming kernels cast every operand to compute_dtype anyway,
+        # so the fwd halo values are bit-identical while the exchange
+        # moves HALF the bytes (and the backward all_to_all transpose
+        # carries the cotangent at the same width — matching the bf16
+        # MXU precision the kernels' VJPs use internally)
         send_buf = jnp.take(
             x_local, consts["halo_send_idx"].reshape(-1),
-            axis=0).reshape(self.num_peers, self.halo_size, F)
+            axis=0).astype(self.compute_dtype).reshape(
+                self.num_peers, self.halo_size, F)
         recv = jax.lax.all_to_all(send_buf, axis, split_axis=0,
                                   concat_axis=0, tiled=False)
 
