@@ -115,3 +115,57 @@ def test_partitioned_spmm_grad_matches_reference():
 
     ref = np.asarray(jax.grad(ref_loss)(jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=6e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual mesh")
+def test_halo_exchange_moves_bf16():
+    """The halo all_to_all must carry rows at the kernels' bf16
+    compute precision (round 5: half the ICI bytes of f32 at
+    identical kernel-input values) — locked in via the jaxpr so a
+    refactor reintroducing an f32 exchange fails loudly."""
+    src, dst, w, x, N = _problem()
+    num_devices = 4
+    shards, (wl, wr) = partition_graph(src, dst, N, num_devices,
+                                       edge_weights=w)
+    op = PartitionedSpmm(shards, wl, wr, window=128,
+                         dense_threshold=32)
+    _, consts = op.bind()
+    consts = jax.tree_util.tree_map(jnp.asarray, consts)
+    mesh = make_mesh((num_devices,), ("graph",),
+                     devices=jax.devices()[:num_devices])
+    leaves, treedef = jax.tree_util.tree_flatten(consts)
+
+    def fn(x_l, *cvals):
+        c = jax.tree_util.tree_unflatten(
+            treedef, [v[0] for v in cvals])
+        return op.apply(c, x_l[0], "graph")[None]
+
+    spec = P("graph")
+    x_sh = jnp.asarray(
+        x[: shards.nodes_per_shard * num_devices].reshape(
+            num_devices, shards.nodes_per_shard, -1))
+    fn_sh = jax.shard_map(fn, mesh=mesh,
+                          in_specs=(spec,) * (1 + len(leaves)),
+                          out_specs=spec, check_vma=False)
+    jaxpr = jax.make_jaxpr(fn_sh)(x_sh, *leaves)
+
+    # the collective lives inside the shard_map sub-jaxpr — walk every
+    # nested jaxpr (params may hold Jaxpr or ClosedJaxpr values)
+    def find_a2a(jx):
+        found = []
+        for e in jx.eqns:
+            if "all_to_all" in e.primitive.name:
+                found.append(e)
+            for v in e.params.values():
+                for vv in (v if isinstance(v, (list, tuple)) else [v]):
+                    inner = getattr(vv, "jaxpr", vv)
+                    if hasattr(inner, "eqns"):
+                        found.extend(find_a2a(inner))
+        return found
+
+    collectives = find_a2a(jaxpr.jaxpr)
+    assert collectives, "no all_to_all found in the halo program"
+    for e in collectives:
+        assert e.invars[0].aval.dtype == jnp.bfloat16, \
+            f"halo all_to_all carries {e.invars[0].aval.dtype}, " \
+            "expected bfloat16"
